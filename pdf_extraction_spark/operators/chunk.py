@@ -1,0 +1,71 @@
+"""Stage 5 — CHUNK: document text -> (url, span_start, span_end,
+chunk_text) rows (the north_star RAG-chunking stage).
+
+Re-expresses the reference's RecursiveCharacterTextSplitter usage
+(build_vector_db.py:369-373,399-403) as exact substring spans.  Span
+computation is a vectorized pandas UDF returning an array of structs;
+the substring materialization stays JVM-side so chunk bytes never
+round-trip through Python — and the invariant
+``chunk_text == substring(extracted_text, start+1, end-start)`` is
+enforced by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from ..functions.text_pure import chunk_spans
+
+SPAN = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(SPAN)
+def _spans_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: [
+            {"start": s, "end": e} for s, e in chunk_spans(t or "")
+        ]
+    )
+
+
+def assemble_documents(page_text: DataFrame) -> DataFrame:
+    """pages -> (url, extracted_text): non-empty page texts joined with
+    a blank line, page order (oracle spec step 8)."""
+    return (
+        page_text.filter(F.length(F.coalesce("page_text", F.lit(""))) > 0)
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_no", "page_text"))),
+                    lambda s: s["page_text"],
+                ),
+                "\n\n",
+            ).alias("extracted_text")
+        )
+    )
+
+
+def chunk_stage(documents: DataFrame) -> DataFrame:
+    """(url, extracted_text) -> chunk rows."""
+    spans = documents.select(
+        "url",
+        "extracted_text",
+        F.explode(_spans_udf(F.col("extracted_text"))).alias("span"),
+    )
+    return spans.select(
+        "url",
+        F.col("span.start").alias("span_start"),
+        F.col("span.end").alias("span_end"),
+        F.expr(
+            "substring(extracted_text, span.start + 1, span.end - span.start)"
+        ).alias("chunk_text"),
+    )

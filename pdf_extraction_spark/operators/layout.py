@@ -1,0 +1,468 @@
+"""Vectorized SPDF layout engine (numpy) — the distributed twin of the
+oracle's reference implementation (oracle.py, layout spec steps 1-6).
+
+Replaces the reference's Docling conversion (structured_extract.py:
+631-639) with from-scratch glyph->line->block grouping + XY-cut reading
+order.  Glyph expansion, line grouping and word-gap detection are
+numpy-vectorized (thousands of glyphs/page); element-level recursion
+(tens of blocks/tables/figures) stays plain Python.  Runs inside the
+Stage-1 ``mapInPandas`` over Arrow batches (operators/extract.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import numpy as np
+
+from ..constants import (
+    BLOCK_GAP_FACTOR,
+    FIGURE_HEADER_RATIO,
+    GLYPH_COVERAGE_TAU,
+    IMAGE_PLACEHOLDER,
+    LINE_Y_QUANT,
+    MIN_FIGURE_AREA_RATIO,
+    OCR_IMAGE_COVER_MIN,
+    PDF_WORD_TOLERANCE,
+    RECT_SNAP_TOL,
+    SPDF_MAGIC,
+    TITLE_MAX_CHARS,
+    TITLE_OVERLAP_THRESHOLD,
+    TITLE_OVERLAP_WEIGHT,
+    TITLE_VERTICAL_THRESHOLD,
+    VISUAL_REVIEW_THRESHOLD,
+    WORD_GAP_FACTOR,
+    XYCUT_MIN_VGAP,
+)
+
+XYCUT_MIN_HGAP = 20.0
+CHAR_ADVANCE = 0.6
+
+
+def _expand_glyphs(runs: list):
+    """runs -> (chars ndarray[str], l, r, b, t, size ndarrays). Spaces
+    advance the pen but emit no glyph."""
+    chars: list[str] = []
+    ls: list[np.ndarray] = []
+    meta: list[tuple[float, float, float, int]] = []  # (y, size, adv, count)
+    for x, y, size, s in runs:
+        if not s:
+            continue
+        adv = CHAR_ADVANCE * size
+        offs = np.arange(len(s), dtype=np.float64) * adv + float(x)
+        keep = np.array([ch != " " for ch in s], dtype=bool)
+        if not keep.any():
+            continue
+        ls.append(offs[keep])
+        kept_chars = [ch for ch in s if ch != " "]
+        chars.extend(kept_chars)
+        meta.append((float(y), float(size), adv, len(kept_chars)))
+    if not chars:
+        z = np.zeros(0)
+        return np.array([], dtype=object), z, z, z, z, z
+    l = np.concatenate(ls)
+    sizes = np.concatenate([np.full(n, sz) for (_, sz, _, n) in meta])
+    advs = np.concatenate([np.full(n, adv) for (_, _, adv, n) in meta])
+    ys = np.concatenate([np.full(n, y) for (y, _, _, n) in meta])
+    return (
+        np.array(chars, dtype=object),
+        l,
+        l + advs,
+        ys,
+        ys + sizes,
+        sizes,
+    )
+
+
+def _lines_from_glyphs(chars, l, r, b, t, size):
+    """Vectorized line building: returns list of line dicts (spec step 3)."""
+    if len(chars) == 0:
+        return []
+    key = np.rint(b / LINE_Y_QUANT).astype(np.int64)
+    order = np.lexsort((l, -key))  # primary: key desc, secondary: l asc
+    chars, l, r, b, t, size, key = (
+        chars[order], l[order], r[order], b[order], t[order], size[order], key[order]
+    )
+    lines = []
+    boundaries = np.flatnonzero(np.diff(key) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(key)]))
+    for s0, e0 in zip(starts, ends):
+        cl, cr = l[s0:e0], r[s0:e0]
+        gap_break = np.zeros(e0 - s0, dtype=bool)
+        if e0 - s0 > 1:
+            gap_break[1:] = (cl[1:] - cr[:-1]) > WORD_GAP_FACTOR * size[s0:e0][:-1]
+        buf = []
+        for i in range(e0 - s0):
+            if gap_break[i]:
+                buf.append(" ")
+            buf.append(chars[s0 + i])
+        lines.append(
+            {
+                "kind": "line",
+                "text": "".join(buf),
+                "l": float(cl.min()),
+                "r": float(cr.max()),
+                "b": float(b[s0:e0].min()),
+                "t": float(t[s0:e0].max()),
+                "baseline": float(b[s0]),
+                "size": float(size[s0]),
+            }
+        )
+    return lines
+
+
+def _rect_components(rects: list) -> list[list[list[float]]]:
+    n = len(rects)
+    if n == 0:
+        return []
+    arr = np.asarray(rects, dtype=np.float64)
+    x0, y0, x1, y1 = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+    adj = ~(
+        (x1[:, None] < x0[None, :] - RECT_SNAP_TOL)
+        | (x1[None, :] < x0[:, None] - RECT_SNAP_TOL)
+        | (y1[:, None] < y0[None, :] - RECT_SNAP_TOL)
+        | (y1[None, :] < y0[:, None] - RECT_SNAP_TOL)
+    )
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ii, jj = np.nonzero(np.triu(adj, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+    comps: dict[int, list] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(rects[i])
+    out = list(comps.values())
+    out.sort(key=lambda rs: (-max(r[3] for r in rs), min(r[0] for r in rs)))
+    return out
+
+
+def _cluster_1d(values, tol: float) -> list[float]:
+    bands: list[float] = []
+    for v in sorted(values):
+        if not bands or v - bands[-1] > tol:
+            bands.append(v)
+    return bands
+
+
+def _cell_text(chars, l, r, b, t, size, mask) -> str:
+    """Reading-order text of a masked glyph subset (vectorized)."""
+    if not mask.any():
+        return ""
+    sub = _lines_from_glyphs(chars[mask], l[mask], r[mask], b[mask], t[mask], size[mask])
+    return " ".join(line["text"] for line in sub)
+
+
+def _detect_tables(rects, chars, l, r, b, t, size):
+    tables = []
+    in_table = np.zeros(len(chars), dtype=bool)
+    cx = (l + r) / 2 if len(chars) else np.zeros(0)
+    cy = (b + t) / 2 if len(chars) else np.zeros(0)
+    for comp in _rect_components(rects):
+        row_tops = _cluster_1d([rr[3] for rr in comp], RECT_SNAP_TOL)
+        col_lefts = _cluster_1d([rr[0] for rr in comp], RECT_SNAP_TOL)
+        if len(row_tops) < 2 or len(col_lefts) < 2:
+            continue
+        row_tops_desc = sorted(row_tops, reverse=True)
+        bbox = {
+            "left": min(rr[0] for rr in comp),
+            "bottom": min(rr[1] for rr in comp),
+            "right": max(rr[2] for rr in comp),
+            "top": max(rr[3] for rr in comp),
+        }
+        cells = []
+        for rect in comp:
+            x0, y0, x1, y1 = rect
+            row_idx = min(
+                range(len(row_tops_desc)), key=lambda i: abs(row_tops_desc[i] - y1)
+            )
+            col_idx = min(
+                range(len(col_lefts)), key=lambda i: abs(col_lefts[i] - x0)
+            )
+            row_span = max(
+                1,
+                sum(1 for tt in row_tops_desc if y0 + RECT_SNAP_TOL < tt <= y1 + RECT_SNAP_TOL),
+            )
+            col_span = max(
+                1,
+                sum(1 for cc in col_lefts if x0 - RECT_SNAP_TOL <= cc < x1 - RECT_SNAP_TOL),
+            )
+            if len(chars):
+                m = (
+                    (cx >= x0 - PDF_WORD_TOLERANCE)
+                    & (cx <= x1 + PDF_WORD_TOLERANCE)
+                    & (cy >= y0 - PDF_WORD_TOLERANCE)
+                    & (cy <= y1 + PDF_WORD_TOLERANCE)
+                )
+                in_table |= m
+                text = _cell_text(chars, l, r, b, t, size, m)
+            else:
+                text = ""
+            cells.append(
+                {
+                    "row": row_idx,
+                    "col": col_idx,
+                    "text": text,
+                    "row_span": row_span,
+                    "col_span": col_span,
+                    "column_header": row_idx == 0,
+                    "row_header": col_idx == 0 and row_idx > 0,
+                }
+            )
+        cells.sort(key=lambda c: (c["row"], c["col"]))
+        tables.append({"bbox": bbox, "cells": cells, "title": None})
+    return tables, in_table
+
+
+def _split_axis(elems, axis, min_gap):
+    if axis == "y":
+        ivals = sorted(((e["b"], e["t"]) for e in elems), key=lambda p: p[0])
+    else:
+        ivals = sorted(((e["l"], e["r"]) for e in elems), key=lambda p: p[0])
+    merged: list[list[float]] = []
+    for lo, hi in ivals:
+        if merged and lo <= merged[-1][1] + min_gap:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if len(merged) <= 1:
+        return [elems]
+    groups: list[list] = [[] for _ in merged]
+    for e in elems:
+        lo = e["b"] if axis == "y" else e["l"]
+        for i, (mlo, mhi) in enumerate(merged):
+            if mlo <= lo <= mhi:
+                groups[i].append(e)
+                break
+    if axis == "y":
+        groups.reverse()
+    return [g for g in groups if g]
+
+
+def _xy_order(elems, try_y=True, try_x=True):
+    if len(elems) <= 1:
+        return list(elems)
+    if try_y:
+        groups = _split_axis(elems, "y", XYCUT_MIN_HGAP)
+        if len(groups) > 1:
+            out = []
+            for g in groups:
+                out.extend(_xy_order(g, try_y=False, try_x=True))
+            return out
+    if try_x:
+        groups = _split_axis(elems, "x", XYCUT_MIN_VGAP)
+        if len(groups) > 1:
+            out = []
+            for g in groups:
+                out.extend(_xy_order(g, try_y=True, try_x=False))
+            return out
+    return sorted(elems, key=lambda e: (-e["t"], e["l"]))
+
+
+def _lines_to_blocks(ordered):
+    out = []
+    for e in ordered:
+        if (
+            e["kind"] == "line"
+            and out
+            and out[-1]["kind"] == "block"
+            and 0 < out[-1]["baseline"] - e["baseline"] <= BLOCK_GAP_FACTOR * e["size"]
+        ):
+            blk = out[-1]
+            blk["text"] += " " + e["text"]
+            blk["l"] = min(blk["l"], e["l"])
+            blk["r"] = max(blk["r"], e["r"])
+            blk["b"] = min(blk["b"], e["b"])
+            blk["baseline"] = e["baseline"]
+        elif e["kind"] == "line":
+            out.append(dict(e, kind="block"))
+        else:
+            out.append(e)
+    return out
+
+
+def _overlap_ratio(al, ar, bl, br) -> float:
+    left, right = max(al, bl), min(ar, br)
+    if right <= left:
+        return 0.0
+    return (right - left) / min(max(1e-3, ar - al), max(1e-3, br - bl))
+
+
+def _table_title(tb, blocks) -> str | None:
+    best_text, best_score = None, float("inf")
+    for blk in blocks:
+        overlap = _overlap_ratio(blk["l"], blk["r"], tb["left"], tb["right"])
+        if overlap < TITLE_OVERLAP_THRESHOLD:
+            continue
+        tlen = len(blk["text"])
+        if tlen == 0 or tlen > TITLE_MAX_CHARS:
+            continue
+        vertical_gap = blk["b"] - tb["top"]
+        if vertical_gap < 0 or vertical_gap > TITLE_VERTICAL_THRESHOLD:
+            continue
+        score = vertical_gap - overlap * TITLE_OVERLAP_WEIGHT
+        if score < best_score:
+            best_score, best_text = score, blk["text"]
+    return best_text
+
+
+def extract_spdf_page(page: dict, page_no: int) -> dict:
+    w = float(page.get("w") or 1.0)
+    h = float(page.get("h") or 1.0)
+    page_area = max(1e-3, w * h)
+    chars, l, r, b, t, size = _expand_glyphs(page.get("text") or [])
+    images = page.get("images") or []
+
+    glyph_area = float(((r - l) * (t - b)).sum()) if len(chars) else 0.0
+    glyph_coverage = glyph_area / page_area
+    image_area = sum(
+        max(0.0, im[2] - im[0]) * max(0.0, im[3] - im[1]) for im in images
+    )
+    image_coverage = image_area / page_area
+    ocr_triggered = (
+        glyph_coverage < GLYPH_COVERAGE_TAU and image_coverage >= OCR_IMAGE_COVER_MIN
+    )
+    ocr_payload = None
+    if ocr_triggered:
+        for im in images:
+            if len(im) > 4:
+                try:
+                    ocr_payload = base64.b64decode(im[4])
+                    break
+                except Exception:
+                    continue
+
+    tables, in_table = _detect_tables(page.get("rects") or [], chars, l, r, b, t, size)
+    keep = ~in_table if len(chars) else np.zeros(0, dtype=bool)
+    lines = _lines_from_glyphs(chars[keep], l[keep], r[keep], b[keep], t[keep], size[keep])
+
+    elems = list(lines)
+    for ti, tb in enumerate(tables):
+        elems.append(
+            {"kind": "table", "idx": ti, "l": tb["bbox"]["left"],
+             "r": tb["bbox"]["right"], "b": tb["bbox"]["bottom"], "t": tb["bbox"]["top"]}
+        )
+    for ii, im in enumerate(images):
+        elems.append(
+            {"kind": "image", "idx": ii, "l": im[0], "r": im[2], "b": im[1], "t": im[3]}
+        )
+
+    ordered = _lines_to_blocks(_xy_order(elems))
+    blocks = [e for e in ordered if e["kind"] == "block"]
+
+    md_lines = []
+    for e in ordered:
+        if e["kind"] == "block":
+            md_lines.append(e["text"])
+        elif e["kind"] == "table":
+            tb = tables[e["idx"]]
+            rows: dict[int, list] = {}
+            for c in tb["cells"]:
+                rows.setdefault(c["row"], []).append((c["col"], c["text"]))
+            for ridx in sorted(rows):
+                md_lines.append(" | ".join(txt for _, txt in sorted(rows[ridx])))
+        else:
+            md_lines.append(IMAGE_PLACEHOLDER)
+
+    for tb in tables:
+        tb["title"] = _table_title(tb["bbox"], blocks)
+
+    figures = []
+    table_area = sum(
+        max(0.0, tb["bbox"]["right"] - tb["bbox"]["left"])
+        * max(0.0, tb["bbox"]["top"] - tb["bbox"]["bottom"])
+        for tb in tables
+    )
+    figure_area = 0.0
+    header_cutoff = h * (1 - FIGURE_HEADER_RATIO) if h else None
+    for im in images:
+        x0, y0, x1, y1 = im[0], im[1], im[2], im[3]
+        width, height = max(0.0, x1 - x0), max(0.0, y1 - y0)
+        area_ratio = (width * height) / page_area
+        if area_ratio < MIN_FIGURE_AREA_RATIO:
+            continue
+        if header_cutoff and y0 >= header_cutoff:
+            continue
+        desc = None
+        if len(im) > 4:
+            try:
+                raw = base64.b64decode(im[4])
+                if raw.startswith(b"FIG:"):
+                    desc = raw[4:].decode("utf-8", errors="replace")
+            except Exception:
+                pass
+        figures.append(
+            {"bbox": {"left": x0, "right": x1, "top": y1, "bottom": y0},
+             "caption": None, "description": desc}
+        )
+        figure_area += width * height
+
+    visual_density = (table_area + figure_area) / page_area
+    return {
+        "page_no": page_no,
+        "md_lines": md_lines,
+        "blocks": [
+            {"text": e["text"],
+             "bbox": {"left": e["l"], "right": e["r"], "top": e["t"], "bottom": e["b"]}}
+            for e in blocks
+        ],
+        "tables": tables,
+        "figures": figures,
+        "page_w": w,
+        "page_h": h,
+        "glyph_coverage": glyph_coverage,
+        "image_coverage": image_coverage,
+        "ocr_triggered": ocr_triggered,
+        "ocr_payload": ocr_payload,
+        "visual_density": visual_density,
+        "has_tables": bool(tables),
+        "has_figures": bool(figures),
+        "needs_review": visual_density >= VISUAL_REVIEW_THRESHOLD or bool(images),
+    }
+
+
+def extract_spdf_unit(page_payload: bytes, page_no: int) -> dict:
+    """One pre-split SPDF page payload (extract.py stage 1a) -> page dict."""
+    try:
+        page = json.loads(page_payload.decode("utf-8"))
+    except Exception:
+        page = {}
+    return extract_spdf_page(page, page_no)
+
+
+def extract_html_unit(payload: bytes) -> dict:
+    from ..functions.html_extract import extract_html
+
+    page = extract_html(payload)
+    page["ocr_payload"] = None
+    return page
+
+
+def extract_payload(payload: bytes | None) -> list[dict]:
+    """Format sniff (F1 dispatch) -> page dicts.  HTML goes through the
+    shared DOM stripper (functions/html_extract.py)."""
+    from ..functions.html_extract import extract_html
+
+    if not payload:
+        return []
+    if payload.startswith(SPDF_MAGIC):
+        try:
+            doc = json.loads(payload[len(SPDF_MAGIC):].decode("utf-8"))
+        except Exception:
+            return []
+        return [extract_spdf_page(p, i + 1) for i, p in enumerate(doc.get("pages") or [])]
+    stripped = payload.lstrip()
+    if stripped[:1] == b"<" or b"<html" in payload[:512].lower():
+        page = extract_html(payload)
+        page["ocr_payload"] = None
+        return [page]
+    return []

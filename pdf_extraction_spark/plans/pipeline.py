@@ -1,0 +1,172 @@
+"""End-to-end extraction pipeline orchestration.
+
+One driver program replaces the reference's subprocess chain
+(run_pipeline.py:35-49): stages are DataFrame->DataFrame functions,
+each committed to a stage table (Iceberg stand-in, stage_store.py) so
+a killed job resumes at the last committed snapshot (north_rule).
+
+    extract  -> pages       (operators/extract.py, mapInPandas)
+    patterns -> strip       (operators/boilerplate.py, pure Catalyst)
+    ocr      -> ocr_text    (operators/ocr.py, flagged subset only)
+    assemble -> doc_text    (operators/chunk.py)
+    chunk    -> chunks
+    metrics  -> per-partition lineage counters (north_star)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.boilerplate import strip_stage
+from ..operators.chunk import assemble_documents, chunk_stage
+from ..operators.extract import extract_stage
+from ..operators.ocr import merge_ocr, ocr_stage
+from . import stage_store
+
+STAGES = ["pages", "page_text", "doc_text", "chunks", "metrics"]
+
+
+def _metrics_df(pages: DataFrame, run_id: str) -> DataFrame:
+    return (
+        pages.groupBy("partition_id")
+        .agg(
+            F.countDistinct("url").alias("urls_in"),
+            F.countDistinct(F.when(F.col("page_no") > 0, F.col("url"))).alias("urls_ok"),
+            F.sum(F.when(F.col("page_no") > 0, 1).otherwise(0)).alias("pages_out"),
+            F.sum(F.col("ocr_triggered").cast("long")).alias("ocr_triggered"),
+            F.sum(F.size("tables")).alias("tables_found"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.max("wall_ms").alias("wall_ms"),
+        )
+        .select(
+            F.lit("extract").alias("stage"),
+            "partition_id",
+            "urls_in",
+            "urls_ok",
+            "pages_out",
+            "ocr_triggered",
+            "tables_found",
+            "bytes_in",
+            "wall_ms",
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_root: str,
+    resume: bool = True,
+    fail_after: str | None = None,
+    run_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the pipeline; returns the stage DataFrames.
+
+    ``fail_after`` kills the run after the named stage commits — the
+    hook the resume test uses (SURVEY.md §5 item 4).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    out: dict[str, DataFrame] = {}
+
+    if resume and stage_store.is_committed(out_root, "pages"):
+        pages = stage_store.read_stage(spark, out_root, "pages")
+    else:
+        pages = stage_store.commit_stage(
+            extract_stage(input_df), out_root, "pages", run_id
+        )
+        stage_store.commit_stage(
+            _metrics_df(pages, run_id), out_root, "metrics", run_id
+        )
+    out["pages"] = pages
+    out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
+    if fail_after == "pages":
+        raise RuntimeError("injected failure after stage 'pages'")
+
+    if resume and stage_store.is_committed(out_root, "page_text"):
+        page_text = stage_store.read_stage(spark, out_root, "page_text")
+    else:
+        stripped = strip_stage(pages)
+        page_text = stage_store.commit_stage(
+            merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
+        )
+    out["page_text"] = page_text
+    if fail_after == "page_text":
+        raise RuntimeError("injected failure after stage 'page_text'")
+
+    if resume and stage_store.is_committed(out_root, "doc_text"):
+        doc_text = stage_store.read_stage(spark, out_root, "doc_text")
+    else:
+        doc_text = stage_store.commit_stage(
+            assemble_documents(page_text), out_root, "doc_text", run_id
+        )
+    out["doc_text"] = doc_text
+    if fail_after == "doc_text":
+        raise RuntimeError("injected failure after stage 'doc_text'")
+
+    if resume and stage_store.is_committed(out_root, "chunks"):
+        chunks = stage_store.read_stage(spark, out_root, "chunks")
+    else:
+        chunks = stage_store.commit_stage(
+            chunk_stage(doc_text), out_root, "chunks", run_id
+        )
+    out["chunks"] = chunks
+    return out
+
+
+def main() -> int:
+    from ..oracle import extract_corpus
+    from ..session import build_session
+    from ..sources.corpus import corpus_df, generate_corpus
+
+    ap = argparse.ArgumentParser(description="run the extraction pipeline on a synthetic corpus and check against the oracle")
+    ap.add_argument("--n-docs", type=int, default=200)
+    ap.add_argument("--out", default="/root/repo/.work/pipeline")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--fail-after", default=None)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    spark = build_session("pipeline")
+    t0 = time.monotonic()
+    inp = corpus_df(spark, args.n_docs)
+    out = run_pipeline(
+        spark, inp, args.out, resume=not args.no_resume, fail_after=args.fail_after
+    )
+    for name in ["pages", "page_text", "doc_text", "chunks"]:
+        print(f"{name}: {out[name].count()} rows")
+    print(f"wall: {time.monotonic() - t0:.1f}s")
+
+    if not args.skip_oracle:
+        got = {r["url"]: r["extracted_text"] for r in out["doc_text"].collect()}
+        exp = extract_corpus(generate_corpus(args.n_docs))
+        n_match = sum(
+            1 for url, v in exp.items() if got.get(url, "") == v["text"]
+        )
+        nonempty = sum(1 for v in exp.values() if v["text"])
+        print(f"oracle match: {n_match}/{len(exp)} urls byte-identical "
+              f"({nonempty} non-empty); rate={n_match / len(exp):.4f}")
+        if n_match != len(exp):
+            for url, v in list(exp.items()):
+                if got.get(url, "") != v["text"]:
+                    print("MISMATCH", url)
+                    g, e = got.get(url, ""), v["text"]
+                    for i, (a, b) in enumerate(zip(e.splitlines(), g.splitlines())):
+                        if a != b:
+                            print("  first diff line", i)
+                            print("  oracle:", a[:120])
+                            print("  spark :", b[:120])
+                            break
+                    else:
+                        print("  length oracle", len(e), "spark", len(g))
+                    break
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,54 @@
+"""Committed stage tables — the sandbox stand-in for Iceberg.
+
+The production design writes every stage boundary to an Iceberg v2
+table (snapshot-committed, SURVEY.md §1.3/§4 item 3); this container
+has no Iceberg runtime jars, so stages commit to parquet directories
+with an explicit ``_COMMITTED`` marker written only after a successful
+write — the same snapshot-or-nothing contract at stage granularity.
+Resume = skip stages whose marker exists (the reference's
+skip-if-exists, pdf_text_extractor.py:47-49 et al., at cluster scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MARKER = "_COMMITTED"
+
+
+def _dir(root: str, stage: str) -> str:
+    return os.path.join(root, stage)
+
+
+def is_committed(root: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(_dir(root, stage), MARKER))
+
+
+def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
+    """Write + mark committed; returns the re-read DataFrame (so
+    downstream stages consume the materialized snapshot, not the
+    lineage — the checkpoint/resume boundary)."""
+    path = _dir(root, stage)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    df.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, MARKER), "w", encoding="utf-8") as fh:
+        json.dump({"run_id": run_id, "committed_at": time.time()}, fh)
+    return df.sparkSession.read.parquet(path)
+
+
+def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    return spark.read.parquet(_dir(root, stage))
+
+
+def marker_info(root: str, stage: str) -> dict | None:
+    p = os.path.join(_dir(root, stage), MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
