@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers one entry per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators: dedup,
+similarity search, text analysis, multimodal); ``oracle_sql()``
+carries the DuckDB-runnable ANSI twin of each.
+
+Output discipline (so the driver's order-insensitive value-hash
+matches): every aggregate/computed column is aliased identically on
+both sides; money math runs in DECIMAL and is presented as DOUBLE;
+derived doubles are rounded to 6 decimals; top-k orderings always
+carry a unique tiebreaker column.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdf_extraction_spark.operators import dedup, quality, retrieval, similarity
+from pdf_extraction_spark.queries import relational, text_ops
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid retrieval (BM25 + deterministic semantic stub,
+    0.6/0.4 min-max combined — reference search_vector_db.py hybrid
+    mode) over the sf0.001 documents table."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return retrieval.hybrid_search(
+        docs, query="spark join table", top_k=10
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(text_ops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(text_ops.ORACLE_SQL)
+    return out

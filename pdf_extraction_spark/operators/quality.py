@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+(stopword heuristic), quality scoring, token counting, document
+fingerprinting.  Pure Catalyst expressions — SQL-replayable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID; ties/zero -> 'und' with lang-asc
+    tiebreak (deterministic)."""
+    tok = df.select(id_col, F.explode(_tokens(text_col)).alias("w"))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        hits = F.sum(F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0))
+        scores.append(hits.alias(f"hits_{lang}"))
+    agg = tok.groupBy(id_col).agg(*scores)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(
+            (best_hits > 0) & (F.col(f"hits_{lang}") == best_hits), F.lit(lang)
+        ).otherwise(pred)
+    return agg.select(
+        id_col, pred.alias("pred_lang"), best_hits.cast("long").alias("hits")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / mean-word-length / stopword-ratio features + combined
+    quality score (round 6)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wl = (n_chars - (n_tokens - 1)) / n_tokens  # chars sans separators
+    stop_ratio = n_stop / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.least(mean_wl / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        id_col,
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + regex word tokens + a BPE-ish subword
+    estimate (ceil of chars/4 — the standard quick token estimator)."""
+    ws_tokens = F.size(_tokens(text_col))
+    re_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"[^0-9A-Za-z_]+"), lambda t: t != "")
+    )
+    bpe_est = F.ceil(F.length(text_col) / F.lit(4.0))
+    return df.select(
+        id_col,
+        ws_tokens.cast("long").alias("ws_tokens"),
+        re_tokens.cast("long").alias("re_tokens"),
+        bpe_est.cast("long").alias("bpe_estimate"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of normalized text + min-shingle hash
+    (1-permutation winnowing-style)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = df.select(
+        id_col, F.posexplode(_tokens(text_col)).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    sh = toks.select(
+        id_col,
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("shingle"),
+        F.lead("w", 2).over(win).alias("_ok"),
+    ).filter(F.col("_ok").isNotNull())
+    min_sh = sh.groupBy(id_col).agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
+    return (
+        df.select(id_col, F.md5(norm).alias("content_md5"))
+        .join(min_sh, id_col, "left")
+    )

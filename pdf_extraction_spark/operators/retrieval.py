@@ -1,0 +1,143 @@
+"""Stage 6 — retrieval: BM25, hybrid scoring, dedup windows, top-k.
+
+Distributed re-expression of the reference's search path
+(search_vector_db.py): the Candidate dataclass becomes a DataFrame with
+score columns; BM25 corpus statistics (A6-A8) are aggregations; min-max
+normalization (A9) is a broadcast cross-join against a global agg;
+0.6/0.4 weighted combine (A10); rank-1-per-group dedup (W5); top-k
+(W1).  The reference's 2000-doc keyword scan cap
+(MAX_KEYWORD_DOCS) is dropped — Spark scans the full corpus.
+
+The semantic scorer is a deterministic stand-in (north_rule: no
+external embedding models): word-set Jaccard between document and
+query — order-insensitive and SQL-expressible, so the DuckDB oracle
+can replay the whole hybrid computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..constants import BM25_B, BM25_K1, KEYWORD_WEIGHT, NORM_EPS, SEMANTIC_WEIGHT
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization (the corpus is space-tokenizable by
+    construction; the reference's Korean morpheme tokenizer is out of
+    scope per SURVEY.md §7.5)."""
+    return df.withColumn(
+        "tokens",
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+    ).withColumn("doc_len", F.size("tokens"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """-> (id_col, keyword_score). docs must carry tokens/doc_len
+    (with_tokens).  reference: search_vector_db.py:61-85."""
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    terms = docs.select(id_col, "doc_len", F.explode("tokens").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    df_counts = (
+        docs.select(id_col, F.explode(F.array_distinct("tokens")).alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = terms.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("term_score", idf * (F.col("tf") * (k1 + 1)) / denom)
+    )
+    return per_term.groupBy(id_col).agg(F.sum("term_score").alias("keyword_score"))
+
+
+def jaccard_semantic(
+    docs: DataFrame, query_terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic semantic-score stand-in: word-set Jaccard."""
+    q = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    dt = F.array_distinct("tokens")
+    return docs.select(
+        id_col,
+        (
+            F.size(F.array_intersect(dt, q))
+            / F.size(F.array_union(dt, q))
+        ).alias("semantic_score"),
+    )
+
+
+def minmax_normalize(
+    df: DataFrame, col: str, out_col: str, eps: float = NORM_EPS
+) -> DataFrame:
+    """A9 (reference search_vector_db.py:160-166): constant -> 0.5."""
+    stats = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    j = df.crossJoin(F.broadcast(stats))
+    norm = F.when(
+        (F.col("_mx") - F.col("_mn")) < eps, F.lit(0.5)
+    ).otherwise((F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")))
+    return j.withColumn(out_col, norm).drop("_mn", "_mx")
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid mode (reference search_vector_db.py:247-254): semantic
+    candidates -> BM25 rescore -> min-max normalize -> 0.6/0.4 combine
+    -> top-k with deterministic tiebreak."""
+    query_terms = [t for t in query.split(" ") if t]
+    toks = with_tokens(docs, text_col)
+    sem = jaccard_semantic(toks, query_terms, id_col)
+    kw = bm25_scores(toks, query_terms, id_col)
+    cand = (
+        sem.join(kw, id_col, "left")
+        .withColumn("keyword_score", F.coalesce("keyword_score", F.lit(0.0)))
+        .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
+    )
+    cand = minmax_normalize(cand, "semantic_score", "sem_norm")
+    cand = minmax_normalize(cand, "keyword_score", "kw_norm")
+    combined = (
+        F.lit(SEMANTIC_WEIGHT) * F.col("sem_norm")
+        + F.lit(KEYWORD_WEIGHT) * F.col("kw_norm")
+    )
+    return (
+        cand.select(
+            id_col,
+            F.round("semantic_score", 6).alias("semantic_score"),
+            F.round("keyword_score", 6).alias("keyword_score"),
+            F.round(combined, 6).alias("combined_score"),
+        )
+        .orderBy(F.desc("combined_score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def dedup_rank1(
+    df: DataFrame, group_cols: list[str], order_col: str, tiebreak: str
+) -> DataFrame:
+    """W5: keep the best row per group (reference dedup at
+    search_vector_db.py:263-271)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: JVM-side
+  zip_with/aggregate dot products, TakeOrderedAndProject top-k.
+* LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures (±1 components derived from md5, so the DuckDB oracle can
+  replay them), bucket equi-join instead of a full cross product.
+
+At cluster scale the brute-force path is O(N) per probe but fully
+partition-parallel with no shuffle (probe broadcast); the LSH path
+turns a 10^12 x probe scan into a bucket-pruned lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, probe_id: int, k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against the probe vector (excluding the
+    probe itself); deterministic tiebreak on id."""
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("_probe")
+    )
+    j = embeddings.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe))
+    cos = _dot(F.col(vec_col), F.col("_probe")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_probe"))
+    )
+    return (
+        j.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_sign(plane: int, dim: int):
+    """Deterministic ±1 component: +1 iff md5('p,i') starts 0-7."""
+    first = F.substring(F.md5(F.lit(f"{plane},{dim}")), 1, 1)
+    return F.when(first.isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) — bucket = bit string of hyperplane signs."""
+    bits = []
+    for p in range(n_planes):
+        proj = sum(
+            F.element_at(F.col(vec_col), i + 1).cast("double") * hyperplane_sign(p, i)
+            for i in range(dim)
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(id_col, F.concat(*bits).alias("bucket"))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, probe_id: int, k: int = 5, n_planes: int = N_PLANES,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """ANN: restrict cosine scoring to the probe's LSH bucket."""
+    buckets = lsh_buckets(embeddings, n_planes, id_col, vec_col, dim)
+    with_b = embeddings.join(buckets, id_col)
+    probe_bucket = buckets.filter(F.col(id_col) == probe_id).select(
+        F.col("bucket").alias("_pb")
+    )
+    cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(
+        (F.col("bucket") == F.col("_pb")) & (F.col(id_col) != probe_id)
+    )
+    probe = embeddings.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("_probe")
+    )
+    j = cand.crossJoin(F.broadcast(probe))
+    cos = _dot(F.col(vec_col), F.col("_probe")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_probe"))
+    )
+    return (
+        j.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
