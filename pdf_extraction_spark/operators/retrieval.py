@@ -109,7 +109,8 @@ def hybrid_search(
     kw = bm25_scores(toks, query_terms, id_col)
     cand = (
         sem.join(kw, id_col, "left")
-        .withColumn("keyword_score", F.coalesce("keyword_score", F.lit(0.0)))
+        .withColumn("keyword_score", F.round(F.coalesce("keyword_score", F.lit(0.0)), 6))
+        .withColumn("semantic_score", F.round("semantic_score", 6))
         .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
     )
     cand = minmax_normalize(cand, "semantic_score", "sem_norm")
@@ -121,8 +122,8 @@ def hybrid_search(
     return (
         cand.select(
             id_col,
-            F.round("semantic_score", 6).alias("semantic_score"),
-            F.round("keyword_score", 6).alias("keyword_score"),
+            "semantic_score",
+            "keyword_score",
             F.round(combined, 6).alias("combined_score"),
         )
         .orderBy(F.desc("combined_score"), F.asc(id_col))
