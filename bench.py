@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Default mode (what the per-round driver runs): times the headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] plus the end-to-end extraction pipeline on a
+deterministic synthetic corpus, and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(extra keys: docs_per_sec, extract_docs, cpus).
+
+--scaling: runs the identical extraction job at two parallelism levels
+(local[8] vs local[32]) in separate processes on the same input and
+reports throughput at both plus scaling efficiency (the sandbox
+evidence for the north_rule's N->4N executor criterion) into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    path = f"/root/repo/.work/bench_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pdf_extraction_spark.sources.corpus import write_corpus
+
+        log(f"generating bench corpus ({n_docs} docs) -> {path}")
+        write_corpus(spark, path, n_docs)
+    return path
+
+
+def run_extract(spark, corpus_path: str) -> tuple[float, int]:
+    from pdf_extraction_spark.operators.boilerplate import strip_stage
+    from pdf_extraction_spark.operators.chunk import assemble_documents, chunk_stage
+    from pdf_extraction_spark.operators.extract import extract_stage
+    from pdf_extraction_spark.operators.ocr import merge_ocr, ocr_stage
+
+    inp = spark.read.parquet(corpus_path)
+    n_docs = inp.count()
+    t0 = time.monotonic()
+    # persist at the stage boundary the pipeline would commit to Iceberg:
+    # pages feeds three consumers (patterns, strip, ocr) — without the
+    # materialization the extraction UDF would recompute per consumer
+    pages = extract_stage(inp).persist()
+    try:
+        page_text = merge_ocr(strip_stage(pages), ocr_stage(pages))
+        chunks = chunk_stage(assemble_documents(page_text))
+        chunks.write.mode("overwrite").format("noop").save()
+    finally:
+        pages.unpersist()
+    return time.monotonic() - t0, n_docs
+
+
+def headline_queries(sf_dir: str):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    names = [
+        "pricing_summary", "shipping_priority", "sessionize",
+        "bm25_documents", "hybrid_retrieval", "dedup_exact",
+        "minhash_signatures", "lsh_pairs", "simhash",
+        "cosine_topk", "ann_lsh_topk", "quality_score",
+    ]
+    qs = entry.queries()
+    return {n: qs[n] for n in names}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--extract-docs", type=int, default=None)
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--quick", action="store_true", help="sf0.01 quick mode")
+    ap.add_argument("--extract-only", action="store_true",
+                    help="run only the extraction pipeline; print JSON")
+    ap.add_argument("--scaling", action="store_true",
+                    help="two-parallelism scaling run -> BENCH/BASELINE.md")
+    args = ap.parse_args()
+    if args.quick:
+        args.sf_dir = "/root/testdata/sf0.01"
+
+    if args.scaling:
+        return run_scaling(args)
+
+    sf = sf_of(args.sf_dir)
+    n_docs = args.extract_docs or max(200, int(20000 * sf))
+
+    from pdf_extraction_spark.session import build_session
+
+    spark = build_session("bench", cores=args.cpus,
+                          shuffle_partitions=max(8, args.cpus))
+    corpus = ensure_corpus(spark, n_docs)
+
+    # warmup: spin up JVM + Python workers so timings measure the jobs
+    log("warmup...")
+    spark.read.parquet(corpus).limit(32).count()
+    warm = ensure_corpus(spark, 50)
+    run_extract(spark, warm)
+
+    results: dict[str, float] = {}
+    log(f"extract pipeline ({n_docs} docs, {args.runs} run(s))...")
+    times = []
+    for _ in range(args.runs):
+        dt, n = run_extract(spark, corpus)
+        times.append(dt)
+    results["extract_pipeline"] = round(statistics.median(times), 3)
+    docs_per_sec = round(n_docs / results["extract_pipeline"], 2)
+    log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec)")
+
+    if not args.extract_only:
+        for name, fn in headline_queries(args.sf_dir).items():
+            ts = []
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                df = fn(spark, args.sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                ts.append(time.monotonic() - t0)
+            results[name] = round(statistics.median(ts), 3)
+            log(f"  {name}: {results[name]}s")
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "e2e_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "extract_docs": n_docs,
+        "cpus": args.cpus,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def run_scaling(args) -> int:
+    """Same extraction job at local[8] and local[32]; efficiency =
+    (thr_32 / thr_8) / 4."""
+    n_docs = args.extract_docs or 2000
+    runs = max(args.runs, 3)
+    rows = {}
+    for cpus in (8, 32):
+        cmd = [
+            sys.executable, __file__, "--extract-only",
+            "--cpus", str(cpus), "--extract-docs", str(n_docs),
+            "--runs", str(runs), "--sf-dir", args.sf_dir,
+        ]
+        log(f"== scaling run local[{cpus}] ==")
+        res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = res.stdout.strip().splitlines()[-1]
+        rows[cpus] = json.loads(line)
+        log(f"   {rows[cpus]['docs_per_sec']} docs/sec")
+    thr8 = rows[8]["docs_per_sec"]
+    thr32 = rows[32]["docs_per_sec"]
+    eff = round((thr32 / thr8) / 4.0, 3)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {"docs_per_sec_local8": thr8, "docs_per_sec_local32": thr32},
+        "sf": sf_of(args.sf_dir),
+        "extract_docs": n_docs,
+        "runs": runs,
+    }
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling.json", "w", encoding="utf-8") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

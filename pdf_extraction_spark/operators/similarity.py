@@ -56,22 +56,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign(plane: int, dim: int):
-    """Deterministic ±1 component: +1 iff md5('p,i') starts 0-7."""
-    first = F.substring(F.md5(F.lit(f"{plane},{dim}")), 1, 1)
-    return F.when(first.isin(*list("01234567")), F.lit(1.0)).otherwise(F.lit(-1.0))
+def hyperplane_sign_value(plane: int, dim: int) -> float:
+    """Deterministic ±1 component: +1 iff md5('p,i') starts 0-7.
+    Computed driver-side (md5 is deterministic) so the plan carries one
+    array literal per plane instead of 64 hash expressions."""
+    import hashlib
+
+    first = hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[0]
+    return 1.0 if first in "01234567" else -1.0
 
 
 def lsh_buckets(
     embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
-    """(id, bucket) — bucket = bit string of hyperplane signs."""
+    """(id, bucket) — bucket = bit string of hyperplane signs.
+    Projection = zip_with/aggregate against a literal sign vector:
+    sequential fold, identical association order to the SQL oracle."""
     bits = []
     for p in range(n_planes):
-        proj = sum(
-            F.element_at(F.col(vec_col), i + 1).cast("double") * hyperplane_sign(p, i)
-            for i in range(dim)
+        signs = F.array(
+            *[F.lit(hyperplane_sign_value(p, i)) for i in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return embeddings.select(id_col, F.concat(*bits).alias("bucket"))

@@ -451,11 +451,12 @@ def q_lsh_buckets(spark, sf_dir):
 def _sql_lsh_buckets() -> str:
     bits = []
     for p in range(similarity.N_PLANES):
+        signs = ", ".join(
+            str(similarity.hyperplane_sign_value(p, i)) for i in range(64)
+        )
         proj = (
             "list_sum(list_transform(generate_series(1, 64), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * "
-            f"(CASE WHEN substr(md5('{p},' || CAST(i - 1 AS VARCHAR)), 1, 1) "
-            "IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)))"
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
         )
         bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     concat = " || ".join(bits)

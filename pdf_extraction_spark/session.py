@@ -48,7 +48,14 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Spark 4's ICU-backed lower()/upper() stalls badly on large
+        # heaps (profiled: 31/32 executor threads pinned in
+        # CollationSupport$Lower.execBinaryICU, 30-50s for a 5k-line
+        # aggregate; 1-9s with it off).  The engine's case mappings are
+        # ASCII-range (Korean has no case; the DuckDB oracle gate
+        # verifies equality), so the JVM fast path is semantics-safe.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,116 @@
+"""Operator-level tests: multimodal plumbing, streaming ingest,
+retrieval semantics vs the pure-Python spec functions."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.functions import text_pure
+from pdf_extraction_spark.operators import multimodal, retrieval
+from pdf_extraction_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, b"\x89PNG" + b"x" * 700),
+        (1, b"GIF89a" + b"y" * 100),
+        (2, b""),
+        (3, None),
+        (4, b"z" * 2048),
+    ]
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_media_metadata(media_df):
+    rows = {r["media_id"]: r for r in multimodal.media_metadata(media_df).collect()}
+    assert len(rows) == 5
+    assert rows[0]["n_bytes"] == 704 and rows[0]["format"] in ("png", "jpeg", "webp")
+    assert 64 <= rows[0]["width"] < 256 and 64 <= rows[0]["height"] < 256
+    assert rows[2]["format"] is None and rows[2]["sha256"] is None  # decoder error path
+    assert rows[3]["n_bytes"] == 0
+    # determinism
+    again = {r["media_id"]: r for r in multimodal.media_metadata(media_df).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_frame_sample_shape(media_df):
+    frames = multimodal.frame_sample(media_df, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[4]) == 4  # 2048/256 = 8 slices, every 2nd -> 4
+    assert all(len(r["frame"]) <= 256 for r in frames)
+    assert 2 not in by_id and 3 not in by_id  # empty payloads yield no frames
+
+
+def test_feature_extract_unit_norm(media_df):
+    import math
+
+    feats = multimodal.feature_extract(media_df, dim=16).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    for r in feats:
+        n = math.sqrt(sum(x * x for x in r["feature"]))
+        assert abs(n - 1.0) < 1e-5
+
+
+def test_streaming_available_now_dedup(spark, work_dir):
+    from pdf_extraction_spark.sources.corpus import corpus_df
+
+    inp = f"{work_dir}/stream_in"
+    out = f"{work_dir}/stream_out"
+    ck = f"{work_dir}/stream_ck"
+    base = corpus_df(spark, 30)
+    base.write.mode("overwrite").parquet(inp)
+    # duplicate urls arrive in a later file
+    base.limit(10).write.mode("append").parquet(inp)
+
+    q = ingest.run_available_now(spark, inp, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # dups dropped
+    assert got.select("url").distinct().count() == 30
+
+    # incremental restart: new files only, already-seen urls skipped
+    base.limit(5).write.mode("append").parquet(inp)  # all dups
+    q2 = ingest.run_available_now(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 30
+
+
+def test_bm25_matches_pure_spec(spark):
+    texts = [
+        (0, "spark join table spark"),
+        (1, "table scan filter"),
+        (2, "join join spark window"),
+        (3, "other words entirely"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["keyword_score"]
+        for r in retrieval.bm25_scores(
+            retrieval.with_tokens(df), ["spark", "join"]
+        ).collect()
+    }
+    corpus = [t.split() for _, t in texts]
+    n = len(corpus)
+    avgdl = sum(map(len, corpus)) / n
+    for doc_id, toks in enumerate(corpus):
+        exp = sum(
+            text_pure.bm25_term_score(
+                toks.count(term),
+                sum(1 for c in corpus if term in c),
+                n, len(toks), avgdl,
+            )
+            for term in ["spark", "join"]
+        )
+        if exp == 0:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == pytest.approx(exp, rel=1e-12)
+
+
+def test_minmax_normalize_constant_guard(spark):
+    df = spark.createDataFrame([(i, 7.0) for i in range(4)], "id long, s double")
+    out = retrieval.minmax_normalize(df, "s", "n").collect()
+    assert all(r["n"] == 0.5 for r in out)  # reference: constant -> 0.5
