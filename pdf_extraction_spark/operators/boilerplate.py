@@ -51,25 +51,25 @@ def boilerplate_patterns(pages: DataFrame) -> DataFrame:
     page_counts = body.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_pages")
     )
-    lines = body.select(
-        "host",
-        "url",
-        "page_no",
-        F.explode(F.split(F.col("md"), "\n")).alias("line"),
-    ).select("host", "url", "page_no", F.trim("line").alias("line"))
-    qual = lines.filter(
-        (F.length("line") > 0)
-        & ~F.contains(F.lower("line"), F.lit(IMAGE_PLACEHOLDER.lower()))
-    ).select(
-        "host",
-        "url",
-        "page_no",
-        normalize_line_col(F.col("line")).alias("norm"),
-    ).filter(F.length("norm") >= MIN_NORM_LEN)
-    prefix_pages = qual.select(
-        "host", "url", "page_no", F.substring("norm", 1, PREFIX_LEN).alias("prefix")
-    ).distinct()
-    counts = prefix_pages.groupBy("host", "prefix").count()
+    # distinct-per-page prefix sets computed row-locally (array ops),
+    # so the only shuffle is the final (host, prefix) count
+    qual_lines = F.filter(
+        F.split(F.col("md"), "\n"),
+        lambda line: (F.length(F.trim(line)) > 0)
+        & ~F.contains(F.lower(line), F.lit(IMAGE_PLACEHOLDER.lower())),
+    )
+    norms = F.filter(
+        F.transform(qual_lines, normalize_line_col),
+        lambda n: F.length(n) >= MIN_NORM_LEN,
+    )
+    prefixes = F.array_distinct(
+        F.transform(norms, lambda n: F.substring(n, 1, PREFIX_LEN))
+    )
+    counts = (
+        body.select("host", F.explode(prefixes).alias("prefix"))
+        .groupBy("host", "prefix")
+        .count()
+    )
     return (
         counts.join(page_counts, "host")
         .filter(F.col("n_pages") >= MIN_PATTERN_PAGES)
@@ -87,47 +87,38 @@ def boilerplate_patterns(pages: DataFrame) -> DataFrame:
 def strip_stage(pages: DataFrame, patterns: DataFrame | None = None) -> DataFrame:
     """pages -> (url, page_no, page_text, ocr_triggered) with common
     prefixes removed (never [IMAGE] lines; OCR pages pass through with
-    null text — Stage 3 fills them)."""
+    null text — Stage 3 fills them).
+
+    Shuffle-free strip: the per-host pattern sets collapse to one array
+    row per host, broadcast-joined back; the line filter runs as a
+    higher-order array expression per page row (no line-level explode /
+    re-assembly shuffle — at 10^12 pages that shuffle would dominate
+    the whole stage).  OCR-flagged pages are excluded here; the OCR
+    stage emits their rows and the pipeline unions the two disjoint
+    sets (no merge join)."""
     if patterns is None:
         patterns = boilerplate_patterns(pages)
+    host_patterns = patterns.groupBy("host").agg(
+        F.collect_list("prefix").alias("pats")
+    )
 
-    body = pages.filter((F.col("page_no") > 0) & ~F.col("ocr_triggered"))
-    lines = body.select(
-        "host",
+    base = pages.filter((F.col("page_no") > 0) & ~F.col("ocr_triggered")).select(
+        "url", "page_no", "host", "md"
+    )
+    joined = base.join(F.broadcast(host_patterns), "host", "left")
+
+    def keep_line(line):
+        is_image = F.contains(F.lower(line), F.lit(IMAGE_PLACEHOLDER.lower()))
+        return is_image | ~F.array_contains(F.col("pats"), prefix_col(line))
+
+    cleaned = F.when(
+        F.col("pats").isNull(), F.col("md")
+    ).otherwise(
+        F.array_join(F.filter(F.split(F.col("md"), "\n"), keep_line), "\n")
+    )
+    return joined.select(
         "url",
         "page_no",
-        F.posexplode(F.split(F.col("md"), "\n")).alias("line_idx", "line"),
-    )
-    is_image = F.contains(F.lower("line"), F.lit(IMAGE_PLACEHOLDER.lower()))
-    keyed = lines.withColumn(
-        "prefix", F.when(~is_image, prefix_col(F.col("line")))
-    )  # null prefix for [IMAGE] lines -> never matches the anti-join
-    kept = keyed.join(F.broadcast(patterns), ["host", "prefix"], "left_anti")
-    rebuilt = (
-        kept.groupBy("url", "page_no")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("joined")
-        )
-        .select("url", "page_no", F.trim(F.col("joined")).alias("page_text"))
-    )
-    # pages whose every line was stripped vanish from `rebuilt`; restore
-    # them (and OCR pages) via left join from the full page set
-    return (
-        pages.filter(F.col("page_no") > 0)
-        .select("url", "page_no", "ocr_triggered")
-        .join(rebuilt, ["url", "page_no"], "left")
-        .select(
-            "url",
-            "page_no",
-            F.when(F.col("ocr_triggered"), F.lit(None)).otherwise(
-                F.coalesce("page_text", F.lit(""))
-            ).alias("page_text"),
-            "ocr_triggered",
-        )
+        F.trim(F.coalesce(cleaned, F.lit(""))).alias("page_text"),
+        F.lit(False).alias("ocr_triggered"),
     )

@@ -1,50 +1,38 @@
 """Stage 1 — EXTRACT: binary payloads -> page rows.
 
 Spark-first re-expression of the reference's per-PDF extraction loop
-(structured_extract.py:571-663, run per file via subprocess): here one
-``mapInPandas`` over Arrow batches of ``(url, html)`` rows.
+(structured_extract.py:571-663, run per file via subprocess).
 
 Skew defense (north_star "salted repartitioning on url-hash to defeat
-giant-PDF skew"): extraction runs in two phases —
+giant-PDF skew"), with the page split done entirely JVM-side:
 
-* **1a split** — cheap format sniff + page split: each document row
-  becomes one row *per page* carrying only that page's payload slice.
-  This turns a 10k-page document into 10k independent work units
-  (the reference's own page-range chunking,
+* **split (Catalyst)** — format sniff + page split as column
+  expressions: the SPDF container keeps one JSON record per page
+  joined by the RS byte, so ``split``/``posexplode`` turns a
+  10k-page document into 10k independent work units without touching
+  Python (the reference's own page-range chunking,
   structured_extract.py:140-154, justifies page-level parallelism).
 * **repartition** on ``xxhash64(url, page_no)`` — page units spread
   uniformly across the cluster regardless of document size.
-* **1b layout** — the heavy glyph->line->block analysis per page unit
-  (operators/layout.py), vectorized numpy inside Arrow batches.
+* **layout (mapInPandas)** — the heavy glyph->line->block analysis per
+  page unit (operators/layout.py), vectorized numpy inside Arrow
+  batches.  This is the only Python stage in the extraction path.
 
 Each output row carries (partition_id, bytes_in, wall_ms) so the
-pipeline can aggregate the per-partition lineage/metrics table
+pipeline aggregates the per-partition lineage/metrics table
 (north_star) without a second pass.
 """
 
 from __future__ import annotations
 
-import json
 import time
 from typing import Iterator
-from urllib.parse import urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..constants import SPDF_MAGIC
 from ..schemas import PAGES
-
-PAGE_UNIT = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("host", T.StringType()),
-        T.StructField("page_no", T.IntegerType(), False),
-        T.StructField("kind", T.StringType(), False),  # spdf | html | empty
-        T.StructField("payload", T.BinaryType()),
-        T.StructField("bytes_in", T.LongType()),
-    ]
-)
 
 PAGES_EXT = T.StructType(
     PAGES.fields
@@ -55,53 +43,60 @@ PAGES_EXT = T.StructType(
     ]
 )
 
-
-def _sniff(payload) -> str:
-    if payload is None or len(payload) == 0:
-        return "empty"
-    b = bytes(payload)
-    if b.startswith(SPDF_MAGIC):
-        return "spdf"
-    if b.lstrip()[:1] == b"<" or b"<html" in b[:512].lower():
-        return "html"
-    return "empty"
+_MAGIC = SPDF_MAGIC.decode()
 
 
-def _split_pages_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        out = {k: [] for k in ("url", "host", "page_no", "kind", "payload", "bytes_in")}
-        for url, payload in zip(pdf["url"], pdf["html"]):
-            host = urlparse(url).netloc
-            kind = _sniff(payload)
-
-            def emit(page_no, k, pl):
-                out["url"].append(url)
-                out["host"].append(host)
-                out["page_no"].append(page_no)
-                out["kind"].append(k)
-                out["payload"].append(pl)
-                out["bytes_in"].append(0 if pl is None else len(pl))
-
-            if kind == "spdf":
-                try:
-                    doc = json.loads(bytes(payload)[len(SPDF_MAGIC):].decode("utf-8"))
-                    pages = doc.get("pages") or []
-                except Exception:
-                    pages = []
-                if not pages:
-                    emit(0, "empty", None)
-                else:
-                    for i, page in enumerate(pages):
-                        emit(
-                            i + 1,
-                            "spdf",
-                            json.dumps(page, ensure_ascii=False).encode("utf-8"),
-                        )
-            elif kind == "html":
-                emit(1, "html", bytes(payload))
-            else:
-                emit(0, "empty", None)
-        yield pd.DataFrame(out)
+def split_pages(input_df: DataFrame) -> DataFrame:
+    """(url, html) -> one row per page unit, all in Catalyst:
+    (url, host, page_no, kind, payload string, bytes_in)."""
+    s = F.expr("try_cast(html as string)")  # lenient UTF-8 (U+FFFD on bad bytes)
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    is_spdf = F.startswith(s, F.lit(_MAGIC))
+    is_html = (F.startswith(F.ltrim(s), F.lit("<"))) | (
+        F.contains(F.lower(F.substring(s, 1, 512)), F.lit("<html"))
+    )
+    spdf_units = F.transform(
+        F.split(F.substring(s, len(_MAGIC) + 1, 2_000_000_000), "\x1e"),
+        lambda rec, i: F.struct(
+            (i + 1).cast("int").alias("page_no"),
+            F.lit("spdf").alias("kind"),
+            rec.alias("payload"),
+        ),
+    )
+    html_unit = F.array(
+        F.struct(
+            F.lit(1).cast("int").alias("page_no"),
+            F.lit("html").alias("kind"),
+            s.alias("payload"),
+        )
+    )
+    empty_unit = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("page_no"),
+            F.lit("empty").alias("kind"),
+            F.lit(None).cast("string").alias("payload"),
+        )
+    )
+    units = (
+        F.when(s.isNull() | (F.length(F.coalesce(s, F.lit(""))) == 0), empty_unit)
+        .when(is_spdf, spdf_units)
+        .when(is_html, html_unit)
+        .otherwise(empty_unit)
+    )
+    return input_df.select(
+        "url",
+        host.alias("host"),
+        F.explode(units).alias("u"),
+    ).select(
+        "url",
+        "host",
+        F.col("u.page_no").alias("page_no"),
+        F.col("u.kind").alias("kind"),
+        F.col("u.payload").alias("payload"),
+        F.octet_length(F.encode(F.coalesce("u.payload", F.lit("")), "UTF-8"))
+        .cast("long")
+        .alias("bytes_in"),
+    )
 
 
 def _page_to_row(page: dict, url: str, host: str) -> dict:
@@ -169,11 +164,9 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["payload"], pdf["bytes_in"],
         ):
             if kind == "spdf":
-                page = extract_spdf_unit(bytes(payload), int(page_no))
-                row = _page_to_row(page, url, host)
+                row = _page_to_row(extract_spdf_unit(payload, int(page_no)), url, host)
             elif kind == "html":
-                page = extract_html_unit(bytes(payload))
-                row = _page_to_row(page, url, host)
+                row = _page_to_row(extract_html_unit(payload), url, host)
             else:
                 row = _empty_doc_row(url, host)
             row["bytes_in"] = int(bytes_in)
@@ -195,8 +188,10 @@ def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataF
     keeps per-url lineage intact for the metrics/resume layers.
     """
     spark = input_df.sparkSession
-    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
-    units = input_df.select("url", "html").mapInPandas(_split_pages_fn, PAGE_UNIT)
+    # many small tasks per core: fine-grained waves shrink the straggler
+    # tail of the layout stage (page units have uneven glyph counts)
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 16
+    units = split_pages(input_df.select("url", "html"))
     # salted spread: uniform on (url, page_no) — a giant doc's pages scatter
     units = units.repartition(n_partitions, F.xxhash64("url", "page_no"))
     return units.mapInPandas(_layout_fn, PAGES_EXT)

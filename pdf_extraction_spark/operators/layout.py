@@ -41,38 +41,30 @@ CHAR_ADVANCE = 0.6
 
 
 def _expand_glyphs(runs: list):
-    """runs -> (chars ndarray[str], l, r, b, t, size ndarrays). Spaces
-    advance the pen but emit no glyph."""
-    chars: list[str] = []
-    ls: list[np.ndarray] = []
-    meta: list[tuple[float, float, float, int]] = []  # (y, size, adv, count)
-    for x, y, size, s in runs:
-        if not s:
-            continue
-        adv = CHAR_ADVANCE * size
-        offs = np.arange(len(s), dtype=np.float64) * adv + float(x)
-        keep = np.array([ch != " " for ch in s], dtype=bool)
-        if not keep.any():
-            continue
-        ls.append(offs[keep])
-        kept_chars = [ch for ch in s if ch != " "]
-        chars.extend(kept_chars)
-        meta.append((float(y), float(size), adv, len(kept_chars)))
-    if not chars:
+    """runs -> (chars ndarray[U1], l, r, b, t, size ndarrays). Spaces
+    advance the pen but emit no glyph.  Vectorized across ALL runs of
+    the page (one numpy pass, no per-run allocations)."""
+    runs = [r for r in runs if r[3]]
+    if not runs:
         z = np.zeros(0)
-        return np.array([], dtype=object), z, z, z, z, z
-    l = np.concatenate(ls)
-    sizes = np.concatenate([np.full(n, sz) for (_, sz, _, n) in meta])
-    advs = np.concatenate([np.full(n, adv) for (_, _, adv, n) in meta])
-    ys = np.concatenate([np.full(n, y) for (y, _, _, n) in meta])
-    return (
-        np.array(chars, dtype=object),
-        l,
-        l + advs,
-        ys,
-        ys + sizes,
-        sizes,
-    )
+        return np.array([], dtype="U1"), z, z, z, z, z
+    texts = [r[3] for r in runs]
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    total = int(lens.sum())
+    xs = np.repeat(np.array([float(r[0]) for r in runs]), lens)
+    ys = np.repeat(np.array([float(r[1]) for r in runs]), lens)
+    sizes = np.repeat(np.array([float(r[2]) for r in runs]), lens)
+    advs = sizes * CHAR_ADVANCE
+    starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    within = np.arange(total, dtype=np.float64) - starts
+    l = xs + within * advs
+    chars = np.array(list("".join(texts)), dtype="U1")
+    keep = chars != " "
+    if not keep.any():
+        z = np.zeros(0)
+        return np.array([], dtype="U1"), z, z, z, z, z
+    l, ys, sizes, advs, chars = l[keep], ys[keep], sizes[keep], advs[keep], chars[keep]
+    return chars, l, l + advs, ys, ys + sizes, sizes
 
 
 def _lines_from_glyphs(chars, l, r, b, t, size):
@@ -430,18 +422,20 @@ def extract_spdf_page(page: dict, page_no: int) -> dict:
     }
 
 
-def extract_spdf_unit(page_payload: bytes, page_no: int) -> dict:
-    """One pre-split SPDF page payload (extract.py stage 1a) -> page dict."""
+def extract_spdf_unit(page_json: str, page_no: int) -> dict:
+    """One pre-split SPDF page record (JVM split, extract.py) -> page dict."""
     try:
-        page = json.loads(page_payload.decode("utf-8"))
+        page = json.loads(page_json)
     except Exception:
         page = {}
     return extract_spdf_page(page, page_no)
 
 
-def extract_html_unit(payload: bytes) -> dict:
+def extract_html_unit(payload: bytes | str) -> dict:
     from ..functions.html_extract import extract_html
 
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
     page = extract_html(payload)
     page["ocr_payload"] = None
     return page
@@ -450,19 +444,15 @@ def extract_html_unit(payload: bytes) -> dict:
 def extract_payload(payload: bytes | None) -> list[dict]:
     """Format sniff (F1 dispatch) -> page dicts.  HTML goes through the
     shared DOM stripper (functions/html_extract.py)."""
-    from ..functions.html_extract import extract_html
-
     if not payload:
         return []
     if payload.startswith(SPDF_MAGIC):
-        try:
-            doc = json.loads(payload[len(SPDF_MAGIC):].decode("utf-8"))
-        except Exception:
-            return []
-        return [extract_spdf_page(p, i + 1) for i, p in enumerate(doc.get("pages") or [])]
+        body = payload[len(SPDF_MAGIC):].decode("utf-8", errors="replace")
+        return [
+            extract_spdf_unit(rec, i + 1)
+            for i, rec in enumerate(body.split("\x1e"))
+        ]
     stripped = payload.lstrip()
     if stripped[:1] == b"<" or b"<html" in payload[:512].lower():
-        page = extract_html(payload)
-        page["ocr_payload"] = None
-        return [page]
+        return [extract_html_unit(payload)]
     return []

@@ -49,15 +49,15 @@ def ocr_stage(pages: DataFrame) -> DataFrame:
 
 
 def merge_ocr(page_text: DataFrame, ocr_text: DataFrame) -> DataFrame:
-    """Fill OCR pages' text (strip_stage left them null)."""
-    return (
-        page_text.join(ocr_text, ["url", "page_no"], "left")
-        .select(
-            "url",
-            "page_no",
-            F.when(F.col("ocr_triggered"), F.coalesce("ocr_text", F.lit("")))
-            .otherwise(F.col("page_text"))
-            .alias("page_text"),
-            "ocr_triggered",
-        )
+    """Combine the (disjoint) stripped-text rows and OCR-text rows —
+    a union, not a join: the two subsets partition the page set, so no
+    shuffle is needed (OCR output is never boilerplate-stripped,
+    matching the reference where the OCR stage writes its own artifacts,
+    table_ocr.py:125-133)."""
+    ocr_rows = ocr_text.select(
+        "url",
+        "page_no",
+        F.coalesce("ocr_text", F.lit("")).alias("page_text"),
+        F.lit(True).alias("ocr_triggered"),
     )
+    return page_text.unionByName(ocr_rows)

@@ -534,13 +534,15 @@ def extract_document(payload: bytes | None) -> list[dict]:
     if not payload:
         return []
     if payload.startswith(SPDF_MAGIC):
-        try:
-            doc = json.loads(payload[len(SPDF_MAGIC):].decode("utf-8"))
-        except Exception:
-            return []
-        return [
-            extract_spdf_page(p, i + 1) for i, p in enumerate(doc.get("pages") or [])
-        ]
+        body = payload[len(SPDF_MAGIC):].decode("utf-8", errors="replace")
+        pages = []
+        for i, rec in enumerate(body.split("\x1e")):
+            try:
+                page = json.loads(rec)
+            except Exception:
+                page = {}
+            pages.append(extract_spdf_page(page, i + 1))
+        return pages
     stripped = payload.lstrip()
     if stripped[:1] == b"<" or b"<html" in payload[:512].lower():
         return [extract_html(payload)]

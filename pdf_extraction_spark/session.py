@@ -56,6 +56,10 @@ def build_session(
         # ASCII-range (Korean has no case; the DuckDB oracle gate
         # verifies equality), so the JVM fast path is semantics-safe.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # local mode: shuffles go through local disk — lz4 costs more
+        # CPU than it saves (on a network cluster leave compression on)
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

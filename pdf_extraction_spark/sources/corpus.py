@@ -215,7 +215,10 @@ def _spdf_doc(rnd: random.Random, doc_id: int, *, giant: bool = False) -> bytes:
                 scan_text="scanned page content " + _sentence(rnd, 8, 16),
             )
         )
-    return SPDF_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False).encode("utf-8")
+    # container: magic + per-page JSON records joined by the RS byte —
+    # page splitting is then a JVM-side split/posexplode (no Python)
+    body = "\x1e".join(json.dumps(p, ensure_ascii=False) for p in pages)
+    return SPDF_MAGIC + body.encode("utf-8")
 
 
 # ---------------------------------------------------------------------------
