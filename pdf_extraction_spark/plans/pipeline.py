@@ -118,6 +118,55 @@ def run_pipeline(
     return out
 
 
+def run_incremental(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_root: str,
+    run_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Incremental re-run: extract ONLY urls absent from the committed
+    pages stage (the reference's skip-if-exists at cluster scale:
+    anti-join against the committed snapshot, SURVEY §1.3), append the
+    increment, then recompute the cheap text stages over the full set
+    (the host-level boilerplate pattern set legitimately shifts as a
+    host grows, so downstream stages are corpus-consistent)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if not stage_store.is_committed(out_root, "pages"):
+        return run_pipeline(spark, input_df, out_root, resume=True, run_id=run_id)
+
+    committed = stage_store.read_stage(spark, out_root, "pages")
+    new_input = input_df.join(
+        committed.select("url").distinct(), "url", "left_anti"
+    )
+    # the anti-join's plan depends on the very parquet dir we append to;
+    # appending would invalidate caches on that path (recacheByPath) and
+    # a recompute would see its own output.  localCheckpoint truncates
+    # the lineage eagerly so the increment is fixed before the write
+    # (Iceberg's snapshot isolation makes this a non-issue in prod).
+    new_pages = extract_stage(new_input).localCheckpoint()
+    metrics_inc = _metrics_df(new_pages, run_id).withColumn(
+        "stage", F.lit("extract_increment")
+    )
+    pages = stage_store.append_stage(new_pages, out_root, "pages", run_id)
+    stage_store.append_stage(metrics_inc, out_root, "metrics", run_id)
+
+    out: dict[str, DataFrame] = {"pages": pages}
+    out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
+    stripped = strip_stage(pages)
+    page_text = stage_store.commit_stage(
+        merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
+    )
+    out["page_text"] = page_text
+    doc_text = stage_store.commit_stage(
+        assemble_documents(page_text), out_root, "doc_text", run_id
+    )
+    out["doc_text"] = doc_text
+    out["chunks"] = stage_store.commit_stage(
+        chunk_stage(doc_text), out_root, "chunks", run_id
+    )
+    return out
+
+
 def main() -> int:
     from ..oracle import extract_corpus
     from ..session import build_session

@@ -42,6 +42,20 @@ def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
     return df.sparkSession.read.parquet(path)
 
 
+def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
+    """Append an increment to a committed stage (Iceberg append commit
+    in production); marker records the append history."""
+    path = _dir(root, stage)
+    df.write.mode("append").parquet(path)
+    info = marker_info(root, stage) or {}
+    appends = info.get("appends", [])
+    appends.append({"run_id": run_id, "committed_at": time.time()})
+    info.update({"appends": appends})
+    with open(os.path.join(path, MARKER), "w", encoding="utf-8") as fh:
+        json.dump(info, fh)
+    return df.sparkSession.read.parquet(path)
+
+
 def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     return spark.read.parquet(_dir(root, stage))
 

@@ -1,0 +1,107 @@
+"""Extraction-pipeline operators registered as driver queries.
+
+These run the full engine over the deterministic synthetic corpus
+(generated on the fly — same generator the byte-identical tests pin
+against the oracle).  No DuckDB oracle can replay the layout engine,
+so the driver records rows-only checks here; the strong per-row
+invariant lives in tests/test_extraction_oracle.py.
+
+The corpus size scales with the sf directory so the driver's sf0.01
+run stays fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import regions
+from ..operators.boilerplate import strip_stage
+from ..operators.chunk import assemble_documents, chunk_stage
+from ..operators.extract import extract_stage
+from ..operators.ocr import merge_ocr, ocr_stage
+from ..sources.corpus import corpus_df
+
+_N_BY_SF = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 1000}
+
+
+def _n_docs(sf_dir: str) -> int:
+    return _N_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 200)
+
+
+_CACHE: dict = {}
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), _n_docs(sf_dir))
+    if key not in _CACHE:
+        pages = extract_stage(corpus_df(spark, _n_docs(sf_dir))).persist()
+        pages.count()
+        _CACHE[key] = pages
+    return _CACHE[key]
+
+
+def q_pipeline_pages(spark, sf_dir):
+    """Stage 1-2 output shape: per-page extraction metadata."""
+    p = _pages(spark, sf_dir)
+    return p.filter(F.col("page_no") > 0).select(
+        "url", "page_no", "glyph_coverage", "ocr_triggered",
+        "visual_density", "has_tables", "has_figures", "needs_review",
+    )
+
+
+def q_pipeline_doc_text(spark, sf_dir):
+    """North-rule target: (url, extracted_text) byte-checked in tests."""
+    p = _pages(spark, sf_dir)
+    return assemble_documents(merge_ocr(strip_stage(p), ocr_stage(p)))
+
+
+def q_pipeline_chunks(spark, sf_dir):
+    """North-star chunk stage: (url, span_start, span_end, chunk_text)."""
+    p = _pages(spark, sf_dir)
+    return chunk_stage(
+        assemble_documents(merge_ocr(strip_stage(p), ocr_stage(p)))
+    )
+
+
+def q_pipeline_tables(spark, sf_dir):
+    t = regions.doc_tables(_pages(spark, sf_dir))
+    return t.select("url", "page_no", "table_index", "title", "n_cells")
+
+
+def q_pipeline_cells(spark, sf_dir):
+    c = regions.table_cells(_pages(spark, sf_dir))
+    return c.select(
+        "url", "page_no", "table_index", "row", "col", "content",
+        F.col("numeric_value").cast("double").alias("numeric_value"),
+        "unit", "content_type",
+    )
+
+
+def q_pipeline_figures(spark, sf_dir):
+    f = regions.doc_figures(_pages(spark, sf_dir))
+    return f.select("url", "page_no", "figure_index", "caption", "description")
+
+
+def q_pipeline_table_diff(spark, sf_dir):
+    """A4 dual-extraction cross-check; arrays joined for a stable shape."""
+    d = regions.number_diff(_pages(spark, sf_dir))
+    return d.select(
+        "url", "page_no",
+        F.array_join("only_in_doc", ",").alias("only_in_doc"),
+        F.array_join("only_in_ocr", ",").alias("only_in_ocr"),
+    )
+
+
+QUERIES = {
+    "pipeline_pages": q_pipeline_pages,
+    "pipeline_doc_text": q_pipeline_doc_text,
+    "pipeline_chunks": q_pipeline_chunks,
+    "pipeline_tables": q_pipeline_tables,
+    "pipeline_cells": q_pipeline_cells,
+    "pipeline_figures": q_pipeline_figures,
+    "pipeline_table_diff": q_pipeline_table_diff,
+}
+
+ORACLE_SQL: dict = {}  # layout engine is not SQL-replayable (rows-only)

@@ -1,0 +1,72 @@
+"""Physical-plan audits: the optimizations SURVEY §4 promises must be
+visible in explain() output — filter/projection pushdown to parquet,
+broadcast joins for dimensions, no Python in Catalyst-only stages."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.boilerplate import boilerplate_patterns, strip_stage
+from pdf_extraction_spark.queries import relational
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-06-01").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan schema must not include unprojected columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_extendedprice" not in m.group(1)
+    assert "l_orderkey" in m.group(1)
+
+
+def test_dimension_joins_are_broadcast(spark, sf):
+    plan = plan_of(relational.q_supplier_nation_region(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_strategies(spark, sf):
+    semi = plan_of(relational.q_semi_join(spark, sf))
+    assert "LeftSemi" in semi
+    anti = plan_of(relational.q_anti_join(spark, sf))
+    assert "LeftAnti" in anti
+
+
+def test_topk_plans_take_ordered(spark, sf):
+    plan = plan_of(relational.q_top_orders(spark, sf))
+    assert "TakeOrderedAndProject" in plan  # partial top-k per partition
+
+
+def test_boilerplate_stage_has_no_python(spark, sf):
+    """north_rule: no per-row Python outside the layout/OCR/chunk UDFs —
+    the whole boilerplate path must be Catalyst expressions."""
+    from pdf_extraction_spark.schemas import PAGES
+
+    pages = spark.createDataFrame([], PAGES)
+    for df in (boilerplate_patterns(pages), strip_stage(pages)):
+        plan = optimized_of(df)
+        assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_partial_aggregation_pushed(spark, sf):
+    """Map-side combine must appear below the exchange (A-class aggs)."""
+    plan = plan_of(relational.q_pricing_summary(spark, sf))
+    assert "partial_sum" in plan and "Exchange hashpartitioning" in plan
+    # partial agg runs BEFORE the shuffle
+    assert plan.index("partial_sum") > plan.index("Exchange")
