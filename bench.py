@@ -141,6 +141,13 @@ def main() -> int:
     results["extract_pipeline"] = round(statistics.median(times), 3)
     docs_per_sec = round(n_docs / results["extract_pipeline"], 2)
     log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec)")
+    if args.stage == "full" and not args.extract_only:
+        dt2, _ = run_extract(spark, corpus, "extract")
+        results["extract_stage"] = round(dt2, 3)
+        extract_stage_dps = round(n_docs / dt2, 2)
+        log(f"  extract_stage: {dt2:.3f}s ({extract_stage_dps} docs/sec)")
+    else:
+        extract_stage_dps = None
 
     if not args.extract_only:
         for name, fn in headline_queries(args.sf_dir).items():
@@ -161,6 +168,7 @@ def main() -> int:
         "queries": results,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
+        "extract_stage_docs_per_sec": extract_stage_dps,
         "extract_docs": n_docs,
         "cpus": args.cpus,
     }

@@ -18,7 +18,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..constants import BM25_B, BM25_K1, KEYWORD_WEIGHT, NORM_EPS, SEMANTIC_WEIGHT
+from ..constants import (
+    BM25_B,
+    BM25_K1,
+    KEYWORD_WEIGHT,
+    NORM_EPS,
+    RERANK_CANDIDATES,
+    SEMANTIC_WEIGHT,
+)
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,6 +134,60 @@ def hybrid_search(
             F.round(combined, 6).alias("combined_score"),
         )
         .orderBy(F.desc("combined_score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def semantic_search(
+    docs: DataFrame, query: str, top_k: int = 10,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Semantic mode (reference search_vector_db.py:241-243): combined
+    score IS the raw semantic score."""
+    query_terms = [t for t in query.split(" ") if t]
+    toks = with_tokens(docs, text_col)
+    sem = jaccard_semantic(toks, query_terms, id_col)
+    return (
+        sem.filter(F.col("semantic_score") > 0)
+        .select(id_col, F.round("semantic_score", 6).alias("semantic_score"))
+        .orderBy(F.desc("semantic_score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def rerank(
+    docs: DataFrame, query: str, pool: int = RERANK_CANDIDATES, top_k: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """W3/W4 rerank: pool = top candidates by combined score, re-scored
+    by a deterministic CrossEncoder stand-in (query-bigram recall: the
+    fraction of the query's word bigrams present in the document),
+    re-sorted (reference rerank_candidates, search_vector_db.py:181-193)."""
+    terms = [t for t in query.split(" ") if t]
+    q_bigrams = [f"{a} {b}" for a, b in zip(terms, terms[1:])]
+    cand = hybrid_search(docs, query, top_k=pool, id_col=id_col, text_col=text_col)
+    toks = with_tokens(docs, text_col).select(id_col, "tokens")
+    bigrams = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                "tokens",
+                F.slice("tokens", 2, 2_000_000),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda s: F.size(F.split(s, " ")) == 2,  # drop the null-padded tail
+        )
+    )
+    qb = F.array(*[F.lit(b) for b in q_bigrams])
+    scored = cand.join(toks, id_col).withColumn(
+        "rerank_score",
+        F.round(
+            F.size(F.array_intersect(bigrams, qb)) / F.lit(float(max(1, len(q_bigrams)))),
+            6,
+        ),
+    )
+    return (
+        scored.select(id_col, "combined_score", "rerank_score")
+        .orderBy(F.desc("rerank_score"), F.desc("combined_score"), F.asc(id_col))
         .limit(top_k)
     )
 

@@ -22,6 +22,7 @@ from ..operators.chunk import assemble_documents, chunk_stage
 from ..operators.extract import extract_stage
 from ..operators.ocr import merge_ocr, ocr_stage
 from ..sources.corpus import corpus_df
+from .common import prepare
 
 _N_BY_SF = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 1000}
 
@@ -34,6 +35,7 @@ _CACHE: dict = {}
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
     key = (id(spark), _n_docs(sf_dir))
     if key not in _CACHE:
         pages = extract_stage(corpus_df(spark, _n_docs(sf_dir))).persist()

@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 DEC = "decimal(18,4)"
 
 
+from .common import table as _table
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _table(spark, sf_dir, name)
 
 
 # --- A-class: grouped aggregation (TPC-H Q1 shape; reference A1-A13) -------

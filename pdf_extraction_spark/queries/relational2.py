@@ -9,8 +9,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DEC = "decimal(18,4)"
 
 
+from .common import table as _table
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _table(spark, sf_dir, name)
 
 
 def q_concat_agg(spark, sf_dir):

@@ -17,8 +17,11 @@ from ..operators.quality import ALL_STOPWORDS, STOPWORDS
 QUERY_TERMS = ["spark", "join", "table"]
 
 
+from .common import table as _table
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _table(spark, sf_dir, name)
 
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -509,6 +512,53 @@ FROM documents
 """
 
 
+
+
+# --- retrieval modes: semantic-only (reference mode dispatch) + rerank ---------
+
+def q_semantic_topk(spark, sf_dir):
+    return retrieval.semantic_search(
+        _t(spark, sf_dir, "documents"), query=" ".join(QUERY_TERMS), top_k=10
+    )
+
+
+SQL_SEMANTIC_TOPK = f"""
+WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT doc_id,
+       ROUND(CAST(len(list_intersect(toks, ['join','spark','table'])) AS DOUBLE)
+             / len(list_distinct(list_concat(toks, ['join','spark','table']))), 6) AS semantic_score
+FROM d
+WHERE len(list_intersect(toks, ['join','spark','table'])) > 0
+ORDER BY semantic_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_rerank_topk(spark, sf_dir):
+    """W3/W4: top-50 hybrid pool re-scored by the deterministic
+    CrossEncoder stand-in (query-bigram recall), top-5."""
+    return retrieval.rerank(
+        _t(spark, sf_dir, "documents"), query=" ".join(QUERY_TERMS),
+        pool=50, top_k=5,
+    )
+
+
+_POOL_SQL = SQL_HYBRID.replace("LIMIT 10", "LIMIT 50")
+
+SQL_RERANK_TOPK = f"""
+WITH pool AS ({_POOL_SQL}),
+bg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1])) AS bigrams
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) WHERE len(toks) >= 2)
+SELECT pool.doc_id, combined_score,
+       ROUND(len(list_intersect(bg.bigrams, ['spark join', 'join table'])) / 2.0, 6) AS rerank_score
+FROM pool JOIN bg ON pool.doc_id = bg.doc_id
+ORDER BY rerank_score DESC, combined_score DESC, pool.doc_id ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "normalized_prefixes": q_normalized_prefixes,
     "boilerplate_threshold": q_boilerplate_threshold,
@@ -530,6 +580,8 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
+    "semantic_topk": q_semantic_topk,
+    "rerank_topk": q_rerank_topk,
 }
 
 ORACLE_SQL = {
@@ -553,4 +605,6 @@ ORACLE_SQL = {
     "lsh_buckets": _sql_lsh_buckets(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "semantic_topk": SQL_SEMANTIC_TOPK,
+    "rerank_topk": SQL_RERANK_TOPK,
 }

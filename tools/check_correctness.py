@@ -86,9 +86,18 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from pdf_extraction_spark.session import build_session
+    from pyspark.sql import SparkSession
 
-    spark = build_session("correctness", cores=16, shuffle_partitions=16)
+    # vanilla session on purpose: the driver runs queries() on its own
+    # SparkSession, so queries must self-prepare (queries/common.py)
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("correctness")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
