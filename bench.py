@@ -8,10 +8,10 @@ deterministic synthetic corpus, and prints ONE JSON line:
 (extra keys: docs_per_sec, extract_docs, cpus).
 
 --scaling: runs the identical extraction job at two parallelism levels
-(local[8] vs local[32]) in separate processes on the same input and
-reports throughput at both plus scaling efficiency (the sandbox
-evidence for the north_rule's N->4N executor criterion) into
-BENCH/BASELINE.md.
+(N=4 vs 4N=16 task threads, each CPU-pinned to exactly N cores) in
+separate processes on the same input and reports throughput at both
+plus scaling efficiency (the sandbox evidence for the north_rule's
+N->4N executor criterion) into BENCH/scaling.json / BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -48,10 +48,7 @@ def ensure_corpus(spark, n_docs: int) -> str:
 
 
 def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, int]:
-    from pdf_extraction_spark.operators.boilerplate import strip_stage
-    from pdf_extraction_spark.operators.chunk import assemble_documents, chunk_stage
     from pdf_extraction_spark.operators.extract import extract_stage
-    from pdf_extraction_spark.operators.ocr import merge_ocr, ocr_stage
 
     inp = spark.read.parquet(corpus_path)
     n_docs = inp.count()
@@ -62,22 +59,18 @@ def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, in
         t0 = time.monotonic()
         extract_stage(inp).write.mode("overwrite").format("noop").save()
         return time.monotonic() - t0, n_docs
+    # the real committed pipeline: every stage lands in the stage store
+    # (parquet snapshot) and downstream stages re-read it — partition
+    # counts renormalize at each boundary and column pruning comes from
+    # the parquet scan, exactly as in production
+    import shutil
+
+    from pdf_extraction_spark.plans.pipeline import run_pipeline
+
+    stage_root = "/root/repo/.work/bench_stages"
+    shutil.rmtree(stage_root, ignore_errors=True)
     t0 = time.monotonic()
-    # persist at the stage boundary the pipeline would commit to Iceberg,
-    # pruned to the columns the text path reads (the committed-parquet
-    # pipeline gets this pruning from the parquet scan automatically;
-    # caching the full nested pages rows costs ~2x the whole stage):
-    # pages feeds three consumers (patterns, strip, ocr) — without the
-    # materialization the extraction UDF would recompute per consumer
-    pages = extract_stage(inp).select(
-        "url", "host", "page_no", "md", "ocr_triggered", "ocr_payload"
-    ).persist()
-    try:
-        page_text = merge_ocr(strip_stage(pages), ocr_stage(pages))
-        chunks = chunk_stage(assemble_documents(page_text))
-        chunks.write.mode("overwrite").format("noop").save()
-    finally:
-        pages.unpersist()
+    run_pipeline(spark, inp, stage_root, resume=False)
     return time.monotonic() - t0, n_docs
 
 
@@ -188,7 +181,7 @@ def run_scaling(args) -> int:
     The corpus must be large enough that per-doc compute dominates
     fixed stage overhead."""
     n_docs = args.extract_docs or 48000
-    runs = max(args.runs, 3)
+    runs = max(args.runs, 5)  # heavy run-to-run variance on this host
     if not os.path.exists(f"/root/repo/.work/bench_corpus_{n_docs}/_SUCCESS"):
         from pdf_extraction_spark.session import build_session
 

@@ -68,41 +68,41 @@ def _expand_glyphs(runs: list):
 
 
 def _lines_from_glyphs(chars, l, r, b, t, size):
-    """Vectorized line building: returns list of line dicts (spec step 3)."""
-    if len(chars) == 0:
+    """Vectorized line building (spec step 3): one lexsort, one
+    reduceat per bbox edge, one string join for the whole page."""
+    n = len(chars)
+    if n == 0:
         return []
     key = np.rint(b / LINE_Y_QUANT).astype(np.int64)
     order = np.lexsort((l, -key))  # primary: key desc, secondary: l asc
     chars, l, r, b, t, size, key = (
         chars[order], l[order], r[order], b[order], t[order], size[order], key[order]
     )
-    lines = []
-    boundaries = np.flatnonzero(np.diff(key) != 0) + 1
-    starts = np.concatenate(([0], boundaries))
-    ends = np.concatenate((boundaries, [len(key)]))
-    for s0, e0 in zip(starts, ends):
-        cl, cr = l[s0:e0], r[s0:e0]
-        gap_break = np.zeros(e0 - s0, dtype=bool)
-        if e0 - s0 > 1:
-            gap_break[1:] = (cl[1:] - cr[:-1]) > WORD_GAP_FACTOR * size[s0:e0][:-1]
-        buf = []
-        for i in range(e0 - s0):
-            if gap_break[i]:
-                buf.append(" ")
-            buf.append(chars[s0 + i])
-        lines.append(
-            {
-                "kind": "line",
-                "text": "".join(buf),
-                "l": float(cl.min()),
-                "r": float(cr.max()),
-                "b": float(b[s0:e0].min()),
-                "t": float(t[s0:e0].max()),
-                "baseline": float(b[s0]),
-                "size": float(size[s0]),
-            }
-        )
-    return lines
+    newline = np.zeros(n, dtype=bool)
+    newline[1:] = key[1:] != key[:-1]
+    gap = np.zeros(n, dtype=bool)
+    gap[1:] = (l[1:] - r[:-1]) > WORD_GAP_FACTOR * size[:-1]
+    gap &= ~newline
+    prefix = np.where(newline, "\n", np.where(gap, " ", ""))
+    texts = "".join(np.char.add(prefix.astype("U1"), chars).tolist()).split("\n")
+    starts = np.concatenate(([0], np.flatnonzero(newline)))
+    l_min = np.minimum.reduceat(l, starts)
+    r_max = np.maximum.reduceat(r, starts)
+    b_min = np.minimum.reduceat(b, starts)
+    t_max = np.maximum.reduceat(t, starts)
+    return [
+        {
+            "kind": "line",
+            "text": texts[i],
+            "l": float(l_min[i]),
+            "r": float(r_max[i]),
+            "b": float(b_min[i]),
+            "t": float(t_max[i]),
+            "baseline": float(b[starts[i]]),
+            "size": float(size[starts[i]]),
+        }
+        for i in range(len(starts))
+    ]
 
 
 def _rect_components(rects: list) -> list[list[list[float]]]:

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 DEC = "decimal(18,4)"
 
-
 from .common import table as _table
 
 

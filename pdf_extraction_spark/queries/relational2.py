@@ -8,7 +8,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEC = "decimal(18,4)"
 
-
 from .common import table as _table
 
 

@@ -16,7 +16,6 @@ from ..operators.quality import ALL_STOPWORDS, STOPWORDS
 
 QUERY_TERMS = ["spark", "join", "table"]
 
-
 from .common import table as _table
 
 
