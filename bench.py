@@ -133,7 +133,8 @@ def main() -> int:
         times.append(dt)
     results["extract_pipeline"] = round(statistics.median(times), 3)
     docs_per_sec = round(n_docs / results["extract_pipeline"], 2)
-    log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec)")
+    docs_per_sec_peak = round(n_docs / min(times), 2)
+    log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec, peak {docs_per_sec_peak})")
     if args.stage == "full" and not args.extract_only:
         dt2, _ = run_extract(spark, corpus, "extract")
         results["extract_stage"] = round(dt2, 3)
@@ -161,6 +162,7 @@ def main() -> int:
         "queries": results,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
+        "docs_per_sec_peak": docs_per_sec_peak,
         "extract_stage_docs_per_sec": extract_stage_dps,
         "extract_docs": n_docs,
         "cpus": args.cpus,
@@ -202,15 +204,22 @@ def run_scaling(args) -> int:
         res = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = res.stdout.strip().splitlines()[-1]
         rows[cpus] = json.loads(line)
-        log(f"   {rows[cpus]['docs_per_sec']} docs/sec")
+        log(f"   median {rows[cpus]['docs_per_sec']} / peak {rows[cpus].get('docs_per_sec_peak')} docs/sec")
     thr_n = rows[4]["docs_per_sec"]
     thr_4n = rows[16]["docs_per_sec"]
     eff = round((thr_4n / thr_n) / 4.0, 3)
+    # host interference is one-sided (neighbors only slow runs down), so
+    # best-of-N estimates the uncontended throughput at each level
+    peak_n = rows[4].get("docs_per_sec_peak") or thr_n
+    peak_4n = rows[16].get("docs_per_sec_peak") or thr_4n
+    eff_peak = round((peak_4n / peak_n) / 4.0, 3)
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff,
         "unit": "ratio",
-        "queries": {"docs_per_sec_local4": thr_n, "docs_per_sec_local16": thr_4n},
+        "value_uncontended": eff_peak,
+        "queries": {"docs_per_sec_local4": thr_n, "docs_per_sec_local16": thr_4n,
+                    "peak_local4": peak_n, "peak_local16": peak_4n},
         "sf": sf_of(args.sf_dir),
         "extract_docs": n_docs,
         "runs": runs,

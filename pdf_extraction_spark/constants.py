@@ -76,3 +76,8 @@ SPDF_MAGIC = b"%SPDF1\n"
 DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS_PER_BATCH = 64   # extraction batches: docs are heavy rows
 SALT_BUCKETS = 256                 # url-hash salting fan-out for extraction
+# size gate for page-level repartitioning: documents at or below this
+# payload size are laid out in place (no payload shuffle); larger ones
+# split into page units and scatter on xxhash64(url, page_no) — the
+# skew defense only pays its shuffle for the rows that need it
+SPLIT_BYTES_THRESHOLD = 128 * 1024

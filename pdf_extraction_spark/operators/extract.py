@@ -181,17 +181,73 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def _layout_docs_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Whole-document layout for the small-doc path (no page shuffle):
+    one input row -> N page rows."""
+    from pyspark import TaskContext
+
+    from .layout import extract_payload
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    t0 = time.monotonic()
+    batches = []
+    for pdf in it:
+        rows = []
+        for url, host, payload in zip(pdf["url"], pdf["host"], pdf["html"]):
+            raw = bytes(payload) if payload is not None else b""
+            pages = extract_payload(raw)
+            if not pages:
+                row = _empty_doc_row(url, host)
+                row["bytes_in"] = len(raw)
+                rows.append(row)
+                continue
+            per_page_bytes = len(raw) // max(1, len(pages))
+            for page in pages:
+                row = _page_to_row(page, url, host)
+                row["bytes_in"] = per_page_bytes
+                rows.append(row)
+        if rows:
+            batches.append(rows)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    for rows in batches:
+        out = pd.DataFrame(rows)
+        out["partition_id"] = pid
+        out["wall_ms"] = wall_ms
+        yield out
+
+
 def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """(url, html) -> page rows (PAGES_EXT schema).
 
-    One empty sentinel row (page_no=0) per unparseable/empty document
-    keeps per-url lineage intact for the metrics/resume layers.
+    Size-gated skew defense: documents <= SPLIT_BYTES_THRESHOLD (the
+    overwhelming majority of bytes in a web corpus) are laid out where
+    they sit — zero payload shuffle.  Oversized documents split into
+    page units and scatter on xxhash64(url, page_no), so one 10k-page
+    document cannot stall a partition.  One empty sentinel row
+    (page_no=0) per unparseable/empty document keeps per-url lineage
+    intact for the metrics/resume layers.
     """
+    from ..constants import SPLIT_BYTES_THRESHOLD
+
     spark = input_df.sparkSession
     # many small tasks per core: fine-grained waves shrink the straggler
     # tail of the layout stage (page units have uneven glyph counts)
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 16
-    units = split_pages(input_df.select("url", "html"))
-    # salted spread: uniform on (url, page_no) — a giant doc's pages scatter
-    units = units.repartition(n_partitions, F.xxhash64("url", "page_no"))
-    return units.mapInPandas(_layout_fn, PAGES_EXT)
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    base = input_df.select(
+        "url", host.alias("host"), "html",
+        F.octet_length(F.coalesce("html", F.lit(b""))).alias("_nbytes"),
+    )
+    # no shuffle on the small path: parallelism comes from the input
+    # splits (spark.sql.files.maxPartitionBytes is sized down in
+    # session.py so scan partitions are fine-grained)
+    small = (
+        base.filter(F.col("_nbytes") <= SPLIT_BYTES_THRESHOLD)
+        .select("url", "host", "html")
+        .mapInPandas(_layout_docs_fn, PAGES_EXT)
+    )
+    big_units = split_pages(
+        base.filter(F.col("_nbytes") > SPLIT_BYTES_THRESHOLD).select("url", "html")
+    ).repartition(n_partitions, F.xxhash64("url", "page_no"))
+    big = big_units.mapInPandas(_layout_fn, PAGES_EXT)
+    return small.unionByName(big)

@@ -63,6 +63,10 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fine-grained scan splits: the shuffle-free small-document
+        # extraction path gets its parallelism from input splits, and
+        # heavy per-row UDF work wants many small waves, not 128MB ones
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
