@@ -20,7 +20,7 @@ lines -> re-assemble page text ordered by line index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..constants import (
     IMAGE_PLACEHOLDER,

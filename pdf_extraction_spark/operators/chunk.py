@@ -13,7 +13,7 @@ enforced by construction.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.text_pure import chunk_spans
 
