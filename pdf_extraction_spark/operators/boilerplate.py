@@ -12,10 +12,10 @@ no per-row Python).  The normalize_line unescape step
 (HTML parser, SPDF format spec) emit already-unescaped text, so the
 JVM-side regex chain is exactly equivalent.
 
-Plan shape: explode lines -> distinct (host, page, prefix) ->
-count per (host, prefix) [partial+final hash agg] -> HAVING
-count >= max(3, int(0.2*n_pages)) -> broadcast anti-join back onto the
-lines -> re-assemble page text ordered by line index.
+Plan shape: per-page distinct prefix arrays (row-local) -> one
+(host, prefix) count shuffle -> HAVING count >= max(3, int(0.2*n_pages))
+-> per-host pattern arrays broadcast back -> higher-order line filter
+per page row (no line-level shuffle anywhere).
 """
 
 from __future__ import annotations
