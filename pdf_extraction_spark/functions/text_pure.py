@@ -3,7 +3,7 @@
 Each mirrors a reference function 1:1 (cited); used by the driver-side
 helpers, the pandas UDFs, and property tests.  The distributed engine
 expresses the same logic as Catalyst column expressions wherever
-possible (see functions/text_exprs.py) — these remain the executable
+possible (see operators/boilerplate.py) — these remain the executable
 spec they are tested against.
 """
 

@@ -2,75 +2,143 @@
 
 All fully distributed, Catalyst-expression based (no Python UDFs):
 
-* exact         — hash-groupBy on content (rank-1 per identical text)
-* minhash + LSH — word-shingle -> md5 minhash -> band -> bucket join
+* exact         — groupBy on a 128-bit content hash (never the payload)
+* minhash + LSH — row-local shingle array -> md5 minhash -> band ->
+                  size-capped bucket join
 * n-gram Jaccard — exact set similarity for candidate verification
-* simhash       — 16-bit md5-derived simhash
+* simhash       — 16-bit md5-derived simhash, row-local votes
 
 md5 (hex string) is the shared hash family because both Spark and the
 DuckDB oracle compute identical digests — the lexicographic min of the
 hex digest is a valid uniform min-hash, so the whole MinHash/LSH
 pipeline replays in ANSI SQL for the correctness gate.
+
+Scale notes (the 100-TB plan, round-2 rework):
+
+* Nothing here shuffles document text.  exact_dedup groups on
+  md5(text) (32 bytes), not the text itself; minhash/simhash collapse
+  to fixed-width signatures row-locally BEFORE any exchange, so the
+  only shuffled bytes are (id, signature).
+* Catalyst does not CSE subexpressions through lambda bodies: a naive
+  row-local rewrite re-evaluates the token-array expression at every
+  lambda call site — O(n^2) per doc (measured 26s vs 0.8s on 2k-token
+  docs; round-1 revert ca92600).  ``_let`` fixes this by binding the
+  array as the single element of a literal array and transforming it:
+  the input of a higher-order function is evaluated exactly once.
+* LSH buckets are size-capped (``bucket_cap``) before the pair
+  self-join: one boilerplate cluster of 10^6 near-identical docs would
+  otherwise go quadratic.  The cap is deterministic and replayed by the
+  SQL oracle; capped-out buckets are still near-dup clusters — callers
+  that need them get the bucket ids from ``lsh_oversize_buckets``
+  instead of pairs (no silent truncation).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 N_MINHASH = 4
 SHINGLE_WORDS = 3
 LSH_BANDS = 2  # 2 bands x 2 rows
+LSH_BUCKET_CAP = 256  # max docs per (band, bucket) admitted to the pair join
+
+
+def _let(bound: Column, fn) -> Column:
+    """Evaluate ``bound`` once per row and pass it to ``fn``.
+
+    Catalyst inlines (and re-evaluates) a subexpression at every lambda
+    call site; wrapping it as the single element of a literal array and
+    transforming evaluates it exactly once — a let-binding.
+    """
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+_EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
+
+
+def shingle_array(text_col: str = "text", n: int = SHINGLE_WORDS) -> Column:
+    """Row-local array of n-word shingles (empty if < n tokens).
+
+    O(tokens) per row via the _let binding; zero shuffle (the round-1
+    posexplode + lead() window form shuffled and sorted every token).
+    """
+
+    def mk(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(n)]
+            ),
+        )
+
+    return _let(
+        tokens_col(text_col),
+        lambda tk: F.when(F.size(tk) >= n, mk(tk)).otherwise(
+            F.expr(_EMPTY_STR_ARRAY)
+        ),
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Canonical row per identical text + duplicate count."""
-    w = Window.partitionBy(text_col).orderBy(F.asc(id_col))
-    wc = Window.partitionBy(text_col)
+    """Canonical row per identical text + duplicate count.
+
+    Groups on md5(text) — a 32-byte shuffle key — never on the payload
+    (a Window.partitionBy(text) would ship the corpus through the
+    exchange twice at 100 TB).  Collision probability at 128 bits is
+    negligible below ~2^64 documents.
+    """
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_dups", F.count(F.lit(1)).over(wc))
-        .filter(F.col("_rn") == 1)
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
         .select(id_col, "n_dups")
     )
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) rows: SHINGLE_WORDS-word shingles via lead()."""
-    tok = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    win = Window.partitionBy(id_col).orderBy("pos")
-    sh = tok.select(
-        id_col,
-        F.concat_ws(
-            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-        ).alias("shingle"),
-        F.lead("w", 2).over(win).alias("_w2"),
-    ).filter(F.col("_w2").isNotNull())
-    return sh.select(id_col, "shingle")
+    """(id, shingle) rows — explode of the row-local shingle array."""
+    return df.select(
+        id_col, F.explode(shingle_array(text_col)).alias("shingle")
+    )
 
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — per seed j: min(md5(j || '|' || shingle))."""
-    sh = shingles(df, text_col, id_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """(id, h0..h{n-1}) — per seed j: min(md5(j || '|' || shingle)).
+
+    Fully row-local (shingle array + array_min per seed): the signature
+    exists before any exchange, so downstream LSH shuffles only
+    (id, 32B x n) rows.  Docs with < SHINGLE_WORDS tokens are excluded
+    (no shingles), matching the exploded form and the SQL oracle.
+    """
+    sig = _let(
+        shingle_array(text_col),
+        lambda sh: F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+                    )
+                ).alias(f"h{j}")
+                for j in range(n_hashes)
+            ]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), sig.alias("_sig"))
+        .select(id_col, "_sig.*")
+        .filter(F.col("h0").isNotNull())
+    )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
-) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
-    -> (doc_a, doc_b, sim_est) with doc_a < doc_b; sim_est = fraction
-    of matching minhashes."""
-    sig = minhash_signature(df, text_col, id_col, n_hashes)
+def _band_buckets(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """signature rows -> (id, h*, band, bucket) — one row per band."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for bnd in range(bands):
@@ -78,30 +146,88 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *hs)).alias("bucket"))
         )
-    buckets = sig.select(
+    return sig.select(
         id_col, *[f"h{j}" for j in range(n_hashes)],
         F.explode(F.array(*band_cols)).alias("bb"),
     ).select(id_col, *[f"h{j}" for j in range(n_hashes)], "bb.band", "bb.bucket")
-    a = buckets.select(
-        F.col(id_col).alias("doc_a"), "band", "bucket",
-        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(n_hashes)],
-    )
-    b = buckets.select(
-        F.col(id_col).alias("doc_b"), "band", "bucket",
-        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(n_hashes)],
-    )
-    matches = (
-        F.lit(0.0)
-        + sum(
-            F.when(F.col(f"ha{j}") == F.col(f"hb{j}"), 1.0).otherwise(0.0)
-            for j in range(n_hashes)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+    -> (doc_a, doc_b, sim_est) with doc_a < doc_b; sim_est = fraction
+    of matching minhashes.
+
+    Buckets larger than ``bucket_cap`` are excluded from the pair join
+    (a single degenerate bucket — e.g. 10^6 boilerplate copies — would
+    emit 10^12 pairs).  The cap is deterministic, replayed by the SQL
+    oracle, and oversize buckets remain reportable via
+    ``lsh_oversize_buckets`` — they ARE dup clusters already.
+    """
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    buckets = _band_buckets(sig, id_col, n_hashes, bands)
+    # One shuffle total: collect the (small, cap-bounded) member set per
+    # bucket and emit the i<j pairs row-locally.  A bucket self-join
+    # would shuffle AND evaluate the signature subplan once per side.
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    *[F.col(f"h{j}") for j in range(n_hashes)],
+                )
+            ).alias("ms")
         )
-    ) / float(n_hashes)
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+
+    def mk_pair(a, b):
+        matches = (
+            F.lit(0.0)
+            + sum(
+                F.when(a[f"h{j}"] == b[f"h{j}"], 1.0).otherwise(0.0)
+                for j in range(n_hashes)
+            )
+        ) / float(n_hashes)
+        return F.struct(
+            F.least(a["id"], b["id"]).alias("doc_a"),
+            F.greatest(a["id"], b["id"]).alias("doc_b"),
+            F.round(matches, 6).alias("sim_est"),  # symmetric in (a, b)
+        )
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ms") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ms")),
+                lambda j: mk_pair(F.element_at("ms", i), F.element_at("ms", j)),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(matches, 6).alias("sim_est"))
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_est")
         .distinct()
+    )
+
+
+def lsh_oversize_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(band, bucket, n_docs) for buckets excluded by the pair-join cap
+    — the audit surface so the cap is never a silent truncation."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes)
+    return (
+        _band_buckets(sig, id_col, n_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > bucket_cap)
     )
 
 
@@ -138,23 +264,42 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     bit value of hex char c at position p, bit b:
     ((strpos('0123456789abcdef', c) - 1) >> b) & 1; tokens vote +1/-1
-    per bit; simhash = sum over set bits of 2^(4*p+b)."""
-    tok = df.select(
-        id_col, F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("w")
-    ).withColumn("hx", F.substring(F.md5("w"), 1, 4))
-    pos = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
-    bits = tok.select(id_col, "hx", pos)
-    hexval = F.conv(
-        F.substring("hx", (F.col("bit") / 4).cast("int") + 1, 1), 16, 10
-    ).cast("int")
-    bitval = F.floor(hexval / F.pow(F.lit(2.0), (F.col("bit") % 4).cast("double"))).cast("long") % 2
-    votes = bits.withColumn("vote", F.when(bitval == 1, 1).otherwise(-1))
-    agg = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    per bit; simhash = sum over set bits of 2^(4*p+b).
+
+    Row-local: one md5 per token (transform), a 16-wide vote vector
+    folded with aggregate/zip_with — zero shuffle, no token explode
+    (the round-1 form pushed 16x the token volume through two
+    exchanges).  Docs with no tokens are excluded (parity with the
+    exploded form / SQL oracle).
+    """
+
+    def bit_votes(hx: Column) -> Column:
+        votes = []
+        for bit in range(16):
+            hexval = F.conv(F.substring(hx, bit // 4 + 1, 1), 16, 10).cast("int")
+            bitval = (
+                F.floor(hexval / F.lit(float(2 ** (bit % 4)))).cast("long") % 2
+            )
+            votes.append(F.when(bitval == 1, 1).otherwise(-1))
+        return F.array(*votes)
+
+    hxs = F.transform(tokens_col(text_col), lambda w: F.substring(F.md5(w), 1, 4))
+    vote_vec = F.aggregate(
+        hxs,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, hx: F.zip_with(acc, bit_votes(hx), lambda a, v: a + v),
+    )
+    sim = _let(
+        vote_vec,
+        lambda v: sum(
+            F.when(
+                F.element_at(v, bit + 1) >= 0, F.lit(2 ** bit).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for bit in range(16)
+        ),
+    )
     return (
-        agg.withColumn(
-            "contrib",
-            F.when(F.col("v") >= 0, F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long")).otherwise(F.lit(0)),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("simhash"))
+        df.select(F.col(id_col), F.size(tokens_col(text_col)).alias("_nt"), sim.alias("simhash"))
+        .filter(F.col("_nt") > 0)
+        .select(id_col, "simhash")
     )

@@ -81,21 +81,18 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 of normalized text + min-shingle hash
-    (1-permutation winnowing-style)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    toks = df.select(
-        id_col, F.posexplode(_tokens(text_col)).alias("pos", "w")
-    )
-    from pyspark.sql import Window
+    (1-permutation winnowing-style).
 
-    win = Window.partitionBy(id_col).orderBy("pos")
-    sh = toks.select(
+    Row-local (shingle array + array_min) — zero shuffle; the round-1
+    posexplode + lead() window form shuffled and sorted every token.
+    Docs with < 3 tokens get a null min_shingle_hash (parity with the
+    old left join / the SQL oracle)."""
+    from .dedup import shingle_array
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    min_sh = F.array_min(F.transform(shingle_array(text_col), F.md5))
+    return df.select(
         id_col,
-        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("shingle"),
-        F.lead("w", 2).over(win).alias("_ok"),
-    ).filter(F.col("_ok").isNotNull())
-    min_sh = sh.groupBy(id_col).agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
-    return (
-        df.select(id_col, F.md5(norm).alias("content_md5"))
-        .join(min_sh, id_col, "left")
+        F.md5(norm).alias("content_md5"),
+        min_sh.alias("min_shingle_hash"),
     )

@@ -66,11 +66,8 @@ def hyperplane_sign_value(plane: int, dim: int) -> float:
     return 1.0 if first in "01234567" else -1.0
 
 
-def lsh_buckets(
-    embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id",
-    vec_col: str = "embedding", dim: int = 64,
-) -> DataFrame:
-    """(id, bucket) — bucket = bit string of hyperplane signs.
+def bucket_col(vec_col: str = "embedding", n_planes: int = N_PLANES, dim: int = 64):
+    """LSH bucket expression — bit string of hyperplane signs.
     Projection = zip_with/aggregate against a literal sign vector:
     sequential fold, identical association order to the SQL oracle."""
     bits = []
@@ -84,17 +81,33 @@ def lsh_buckets(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return embeddings.select(id_col, F.concat(*bits).alias("bucket"))
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) — pure column expression over the embeddings scan."""
+    return embeddings.select(
+        id_col, bucket_col(vec_col, n_planes, dim).alias("bucket")
+    )
 
 
 def ann_lsh_topk(
     embeddings: DataFrame, probe_id: int, k: int = 5, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
-    """ANN: restrict cosine scoring to the probe's LSH bucket."""
-    buckets = lsh_buckets(embeddings, n_planes, id_col, vec_col, dim)
-    with_b = embeddings.join(buckets, id_col)
-    probe_bucket = buckets.filter(F.col(id_col) == probe_id).select(
+    """ANN: restrict cosine scoring to the probe's LSH bucket.
+
+    The bucket is computed with withColumn on the same embeddings scan
+    (round 1 self-joined embeddings against lsh_buckets(embeddings) —
+    a full shuffle of the vector column for a value derivable in
+    place)."""
+    with_b = embeddings.withColumn(
+        "bucket", bucket_col(vec_col, n_planes, dim)
+    )
+    probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(
         F.col("bucket").alias("_pb")
     )
     cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(

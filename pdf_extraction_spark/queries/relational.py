@@ -321,9 +321,13 @@ def q_sessionize(spark, sf_dir):
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+    # canonical rendering for the driver's value hash (same discipline
+    # as q_gaps_islands): timestamps as formatted strings (Spark ts is a
+    # tz-aware instant, DuckDB's is naive — raw values hash differently)
+    # and session_id cast to BIGINT (DuckDB window SUM yields HUGEINT).
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -342,7 +346,9 @@ sess AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id, session_id
 """

@@ -308,13 +308,16 @@ sig AS (SELECT doc_id, MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)
 bands AS (
   SELECT doc_id, h0, h1, h2, h3, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, h0, h1, h2, h3, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig)
+  SELECT doc_id, h0, h1, h2, h3, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+admitted AS (
+  SELECT * FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {dedup.LSH_BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(((CASE WHEN a.h0 = b.h0 THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN a.h1 = b.h1 THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN a.h2 = b.h2 THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN a.h3 = b.h3 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS sim_est
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM admitted a JOIN admitted b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
 

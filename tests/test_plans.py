@@ -70,3 +70,63 @@ def test_partial_aggregation_pushed(spark, sf):
     assert "partial_sum" in plan and "Exchange hashpartitioning" in plan
     # partial agg runs BEFORE the shuffle
     assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_dedup_family_plans_are_shuffle_lean(spark, sf):
+    """Round-2 scale rework: signatures/fingerprints/simhash collapse
+    row-locally (no Window over exploded tokens, zero exchanges);
+    exact dedup shuffles a 32-byte hash key, never the text payload."""
+    from pdf_extraction_spark.operators import dedup, quality
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for df in (
+        dedup.minhash_signature(docs),
+        dedup.simhash16(docs),
+        quality.fingerprint(docs),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan
+        assert "Exchange" not in plan
+
+    exact = plan_of(dedup.exact_dedup(docs))
+    assert "Window" not in exact
+    # the shuffle key is the md5 hash (computed below the exchange),
+    # not the text column
+    m = re.search(r"Exchange hashpartitioning\(([^)]*)", exact)
+    assert m and "text#" not in m.group(1)
+    assert "md5(" in exact
+
+
+def test_lsh_pairs_single_bucket_shuffle_and_cap(spark, sf):
+    """LSH pair generation: one (band, bucket) exchange + the distinct —
+    no bucket self-join re-evaluating the signature subplan, and the
+    bucket-size cap is present before pair emission."""
+    from pdf_extraction_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    plan = plan_of(pairs)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # cap excludes degenerate buckets: a corpus of identical docs
+    # produces one bucket above the cap -> zero pairs, but the cluster
+    # stays visible through the oversize-bucket audit
+    same = spark.range(dedup.LSH_BUCKET_CAP + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon").alias("text"),
+    )
+    assert dedup.lsh_candidate_pairs(same).count() == 0
+    over = dedup.lsh_oversize_buckets(same).collect()
+    assert len(over) == 2  # both bands collapse to one oversized bucket
+    assert all(r.n_docs == dedup.LSH_BUCKET_CAP + 1 for r in over)
+
+
+def test_ann_bucket_no_self_join(spark, sf):
+    """ANN bucket is a column on the embeddings scan — no join of the
+    embeddings table against itself to attach the bucket."""
+    from pdf_extraction_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = plan_of(similarity.ann_lsh_topk(emb, probe_id=0, k=5))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # probe scalar joins only
