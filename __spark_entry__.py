@@ -19,7 +19,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pdf_extraction_spark.operators import retrieval
-from pdf_extraction_spark.queries import pipeline_ops, relational, relational2, spatial, text_ops
+from pdf_extraction_spark.queries import (
+    pipeline_ops,
+    relational,
+    relational2,
+    retrieval2,
+    spatial,
+    text_ops,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,8 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(relational2.QUERIES)
     out.update(text_ops.QUERIES)
+    out.update(retrieval2.QUERIES)
     out.update(spatial.QUERIES)
     out.update(pipeline_ops.QUERIES)
+    assert len(out) <= 50, "driver records at most 50 correctness entries"
     return out
 
 
@@ -51,6 +60,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(relational2.ORACLE_SQL)
     out.update(text_ops.ORACLE_SQL)
+    out.update(retrieval2.ORACLE_SQL)
     out.update(spatial.ORACLE_SQL)
     out.update(pipeline_ops.ORACLE_SQL)
     return out

@@ -203,3 +203,106 @@ def dedup_rank1(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def aggregate_page_text(
+    chunks: DataFrame,
+    doc_col: str = "doc_id",
+    page_col: str = "page_no",
+    order_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Page-aggregated text from page_text chunks, ordered by chunk id
+    (reference aggregate_page_text, search_vector_db.py:133-157) —
+    the text BM25 rescoring runs on in hybrid mode."""
+    src = chunks
+    if "source_type" in chunks.columns:
+        src = chunks.filter(F.col("source_type") == "page_text")
+    return (
+        src.groupBy(doc_col, page_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col).alias("i"), F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("page_text")
+        )
+    )
+
+
+def chunk_hybrid_search(
+    chunks: DataFrame,
+    query: str,
+    top_k: int = 10,
+    doc_col: str = "doc_id",
+    page_col: str = "page_no",
+) -> DataFrame:
+    """Hybrid retrieval at CHUNK granularity — the reference's primary
+    query surface (search_vector_db.py:100-112 unions page- and
+    chunk-collections; metadata carries source_type/doc/page ids,
+    build_vector_db.py:354-366,473-527):
+
+    1. semantic score per chunk (deterministic Jaccard stand-in);
+    2. BM25 rescoring on the PAGE-AGGREGATED text of each candidate's
+       page — not the raw chunk (aggregate_page_text,
+       search_vector_db.py:133-157);
+    3. min-max normalize + 0.6/0.4 combine (A9/A10);
+    4. rank-1 dedup per (doc, page) on the ranked output
+       (search_vector_db.py:263-271);
+    5. deterministic global top-k.
+
+    ``chunks`` must carry (doc_col, page_col, chunk_id, source_type,
+    chunk_text).  All Catalyst; BM25 stats and per-term doc frequencies
+    broadcast.
+    """
+    query_terms = [t for t in query.split(" ") if t]
+    toks = with_tokens(chunks, "chunk_text")
+    sem = toks.select(
+        doc_col, page_col, "chunk_id", "source_type",
+        F.round(
+            F.size(F.array_intersect(F.array_distinct("tokens"),
+                                     F.array(*[F.lit(t) for t in sorted(set(query_terms))])))
+            / F.size(F.array_union(F.array_distinct("tokens"),
+                                   F.array(*[F.lit(t) for t in sorted(set(query_terms))]))),
+            6,
+        ).alias("semantic_score"),
+    )
+    pages = with_tokens(
+        aggregate_page_text(chunks, doc_col, page_col), "page_text"
+    ).withColumn("page_id", F.concat_ws("|", doc_col, page_col))
+    kw = bm25_scores(pages, query_terms, id_col="page_id")
+    page_kw = pages.select(doc_col, page_col, "page_id").join(
+        kw, "page_id"
+    ).select(doc_col, page_col, F.round("keyword_score", 6).alias("keyword_score"))
+    cand = (
+        sem.join(page_kw, [doc_col, page_col], "left")
+        .withColumn("keyword_score", F.coalesce("keyword_score", F.lit(0.0)))
+        .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
+    )
+    cand = minmax_normalize(cand, "semantic_score", "sem_norm")
+    cand = minmax_normalize(cand, "keyword_score", "kw_norm")
+    combined = (
+        F.lit(SEMANTIC_WEIGHT) * F.col("sem_norm")
+        + F.lit(KEYWORD_WEIGHT) * F.col("kw_norm")
+    )
+    scored = cand.select(
+        doc_col, page_col, "chunk_id", "source_type",
+        "semantic_score", "keyword_score",
+        F.round(combined, 6).alias("combined_score"),
+    )
+    deduped = dedup_rank1(
+        scored.withColumn(
+            "_tb",
+            F.concat_ws(
+                "|", F.lpad(F.col("chunk_id").cast("string"), 6, "0"), "source_type"
+            ),
+        ),
+        [doc_col, page_col], "combined_score", "_tb",
+    ).drop("_tb")
+    return deduped.orderBy(
+        F.desc("combined_score"), F.asc(doc_col), F.asc(page_col), F.asc("chunk_id")
+    ).limit(top_k)

@@ -67,9 +67,26 @@ def q_pipeline_chunks(spark, sf_dir):
     )
 
 
-def q_pipeline_tables(spark, sf_dir):
-    t = regions.doc_tables(_pages(spark, sf_dir))
-    return t.select("url", "page_no", "table_index", "title", "n_cells")
+def q_pipeline_regions(spark, sf_dir):
+    """Stage-4 region surface — tables and figures unioned with a
+    region_type tag (one driver slot: the driver records at most 50
+    correctness entries, see NOTES.md)."""
+    p = _pages(spark, sf_dir)
+    t = regions.doc_tables(p).select(
+        "url", "page_no",
+        F.lit("table").alias("region_type"),
+        F.col("table_index").alias("region_index"),
+        F.col("title").alias("caption"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+    f = regions.doc_figures(p).select(
+        "url", "page_no",
+        F.lit("figure").alias("region_type"),
+        F.col("figure_index").alias("region_index"),
+        F.col("caption").alias("caption"),
+        F.lit(None).cast("long").alias("n_cells"),
+    )
+    return t.unionByName(f)
 
 
 def q_pipeline_cells(spark, sf_dir):
@@ -79,11 +96,6 @@ def q_pipeline_cells(spark, sf_dir):
         F.col("numeric_value").cast("double").alias("numeric_value"),
         "unit", "content_type",
     )
-
-
-def q_pipeline_figures(spark, sf_dir):
-    f = regions.doc_figures(_pages(spark, sf_dir))
-    return f.select("url", "page_no", "figure_index", "caption", "description")
 
 
 def q_pipeline_table_diff(spark, sf_dir):
@@ -100,9 +112,8 @@ QUERIES = {
     "pipeline_pages": q_pipeline_pages,
     "pipeline_doc_text": q_pipeline_doc_text,
     "pipeline_chunks": q_pipeline_chunks,
-    "pipeline_tables": q_pipeline_tables,
+    "pipeline_regions": q_pipeline_regions,
     "pipeline_cells": q_pipeline_cells,
-    "pipeline_figures": q_pipeline_figures,
     "pipeline_table_diff": q_pipeline_table_diff,
 }
 

@@ -460,11 +460,9 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "top_orders": q_top_orders,
     "rank1_per_customer": q_rank1_per_customer,
-    "topk_per_type": q_topk_per_type,
     "running_sum": q_running_sum,
     "gaps_islands": q_gaps_islands,
     "sessionize": q_sessionize,
-    "window_hour_agg": q_window_hour_agg,
     "minmax_combined": q_minmax_combined,
     "union_distinct": q_union_distinct,
     "except_parts": q_except_parts,
@@ -480,11 +478,9 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "top_orders": SQL_TOP_ORDERS,
     "rank1_per_customer": SQL_RANK1_PER_CUSTOMER,
-    "topk_per_type": SQL_TOPK_PER_TYPE,
     "running_sum": SQL_RUNNING_SUM,
     "gaps_islands": SQL_GAPS_ISLANDS,
     "sessionize": SQL_SESSIONIZE,
-    "window_hour_agg": SQL_WINDOW_HOUR_AGG,
     "minmax_combined": SQL_MINMAX_COMBINED,
     "union_distinct": SQL_UNION_DISTINCT,
     "except_parts": SQL_EXCEPT_PARTS,

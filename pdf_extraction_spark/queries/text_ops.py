@@ -562,13 +562,11 @@ LIMIT 5
 
 
 QUERIES = {
-    "normalized_prefixes": q_normalized_prefixes,
     "boilerplate_threshold": q_boilerplate_threshold,
     "number_tokens": q_number_tokens,
     "unit_parse": q_unit_parse,
     "bm25_documents": q_bm25_documents,
     "hybrid_retrieval": q_hybrid_retrieval,
-    "chunk_fixed": q_chunk_fixed,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
@@ -579,7 +577,6 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
-    "lsh_buckets": q_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
     "semantic_topk": q_semantic_topk,
@@ -587,13 +584,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
-    "normalized_prefixes": SQL_NORMALIZED_PREFIXES,
     "boilerplate_threshold": SQL_BOILERPLATE_THRESHOLD,
     "number_tokens": SQL_NUMBER_TOKENS,
     "unit_parse": SQL_UNIT_PARSE,
     "bm25_documents": SQL_BM25,
     "hybrid_retrieval": SQL_HYBRID,
-    "chunk_fixed": SQL_CHUNK_FIXED,
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signatures": SQL_MINHASH,
     "lsh_pairs": SQL_LSH_PAIRS,
@@ -604,7 +599,6 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "cosine_topk": SQL_COSINE_TOPK,
-    "lsh_buckets": _sql_lsh_buckets(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "multimodal_meta": SQL_MULTIMODAL_META,
     "semantic_topk": SQL_SEMANTIC_TOPK,

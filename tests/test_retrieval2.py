@@ -1,0 +1,83 @@
+"""Round-2 retrieval surface: chunk-granularity hybrid search,
+embedding build, query-filter inference."""
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators import retrieval
+from pdf_extraction_spark.operators.embed import (
+    EMBED_DIM,
+    embed_stage,
+    hash_embedding_col,
+)
+from pdf_extraction_spark.queries.retrieval2 import synthetic_chunks
+
+
+def test_embed_catalyst_and_arrow_paths_identical(spark):
+    """The mapInPandas encoder path (the production shape for a real
+    model) must match the Catalyst expression bit-for-bit."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text with words {i * 7}") for i in range(20)] + [(99, "")],
+        "doc_id long, chunk_text string",
+    )
+    a = {r.doc_id: r.embedding for r in embed_stage(docs).collect()}
+    b = {r.doc_id: r.embedding for r in embed_stage(docs, use_arrow=True).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert len(a[k]) == EMBED_DIM
+        assert a[k] == b[k]
+        assert all(-1.0 <= x <= 1.0 for x in a[k])
+
+
+def test_embed_is_deterministic_and_content_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha gamma")],
+        "doc_id long, t string",
+    )
+    rows = docs.select("doc_id", hash_embedding_col("t").alias("e")).collect()
+    e = {r.doc_id: r.e for r in rows}
+    assert e[0] == e[1]
+    assert e[0] != e[2]
+
+
+def test_chunk_hybrid_dedup_one_row_per_doc_page(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = retrieval.chunk_hybrid_search(
+        synthetic_chunks(docs), "spark join table", top_k=50
+    ).collect()
+    keys = [(r.doc_id, r.page_no) for r in out]
+    assert len(keys) == len(set(keys))  # W5 dedup wired into ranked output
+    scores = [r.combined_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert {"page_text", "table", "figure"} >= {r.source_type for r in out}
+
+
+def test_chunk_hybrid_rescoring_is_page_aggregated(spark):
+    """A chunk whose page-siblings carry the query terms gets keyword
+    credit even when the chunk itself has none (reference
+    aggregate_page_text, search_vector_db.py:133-157)."""
+    chunks = spark.createDataFrame(
+        [
+            # doc 1 page 1: chunk 0 semantic hit, chunk 1 keyword-rich
+            (1, 1, 0, "page_text", "spark overview"),
+            (1, 1, 1, "page_text", "join table join table join"),
+            # doc 2 page 1: isolated semantic hit, no keywords on page
+            (2, 1, 0, "page_text", "spark only here"),
+        ],
+        "doc_id long, page_no long, chunk_id long, source_type string, chunk_text string",
+    )
+    out = {
+        (r.doc_id, r.page_no): r
+        for r in retrieval.chunk_hybrid_search(chunks, "spark join table", 10).collect()
+    }
+    assert out[(1, 1)].keyword_score > 0  # credit flows from the sibling chunk
+    assert out[(2, 1)].keyword_score < out[(1, 1)].keyword_score
+
+
+def test_aggregate_page_text_orders_by_chunk_id(spark):
+    chunks = spark.createDataFrame(
+        [(1, 1, 2, "page_text", "c"), (1, 1, 0, "page_text", "a"),
+         (1, 1, 1, "page_text", "b"), (1, 1, 9, "table", "IGNORED")],
+        "doc_id long, page_no long, chunk_id long, source_type string, chunk_text string",
+    )
+    row = retrieval.aggregate_page_text(chunks).collect()[0]
+    assert row.page_text == "a b c"
