@@ -84,18 +84,32 @@ def boilerplate_patterns(pages: DataFrame) -> DataFrame:
     )
 
 
-def strip_stage(pages: DataFrame, patterns: DataFrame | None = None) -> DataFrame:
+def strip_stage(
+    pages: DataFrame,
+    patterns: DataFrame | None = None,
+    join_strategy: str = "shuffle",
+) -> DataFrame:
     """pages -> (url, page_no, page_text, ocr_triggered) with common
     prefixes removed (never [IMAGE] lines; OCR pages pass through with
     null text — Stage 3 fills them).
 
-    Shuffle-free strip: the per-host pattern sets collapse to one array
-    row per host, broadcast-joined back; the line filter runs as a
-    higher-order array expression per page row (no line-level explode /
-    re-assembly shuffle — at 10^12 pages that shuffle would dominate
-    the whole stage).  OCR-flagged pages are excluded here; the OCR
-    stage emits their rows and the pipeline unions the two disjoint
-    sets (no merge join)."""
+    The per-host pattern sets collapse to one array row per host and
+    join back on host; the line filter then runs as a higher-order
+    array expression per page row (no line-level explode / re-assembly
+    shuffle — at 10^12 pages that shuffle would dominate the stage).
+
+    ``join_strategy`` picks how the pattern side attaches:
+
+    * ``"shuffle"`` (default) — shuffle-hash join on host.  At web
+      scale host cardinality is 10^7-10^8; a broadcast of every host's
+      pattern array does not fit (round-1 defect).
+    * ``"broadcast"`` — explicit broadcast, shuffle-free for the pages
+      side.  Correct only when the host count is bounded; the pipeline
+      opts in after MEASURING pattern-side cardinality against
+      BROADCAST_HOST_CAP (size-gated, like extract's byte gate).
+
+    OCR-flagged pages are excluded here; the OCR stage emits their rows
+    and the pipeline unions the two disjoint sets (no merge join)."""
     if patterns is None:
         patterns = boilerplate_patterns(pages)
     host_patterns = patterns.groupBy("host").agg(
@@ -105,7 +119,10 @@ def strip_stage(pages: DataFrame, patterns: DataFrame | None = None) -> DataFram
     base = pages.filter((F.col("page_no") > 0) & ~F.col("ocr_triggered")).select(
         "url", "page_no", "host", "md"
     )
-    joined = base.join(F.broadcast(host_patterns), "host", "left")
+    if join_strategy == "broadcast":
+        joined = base.join(F.broadcast(host_patterns), "host", "left")
+    else:
+        joined = base.join(host_patterns.hint("shuffle_hash"), "host", "left")
 
     def keep_line(line):
         is_image = F.contains(F.lower(line), F.lit(IMAGE_PLACEHOLDER.lower()))

@@ -110,6 +110,75 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, FRAME_SCHEMA)
 
 
+PHOTO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("color_ratio", T.DoubleType()),
+        T.StructField("sat_mean", T.DoubleType()),
+        T.StructField("photo_like", T.BooleanType(), False),
+    ]
+)
+
+
+def photo_likeness(df: DataFrame, id_col: str = "media_id", bin_col: str = "data") -> DataFrame:
+    """F4 photo-likeness classifier (reference is_photo_like,
+    figure_ocr.py:127-138): 64x64 color-count ratio > 0.28 AND mean
+    saturation > 55, computed over SPM raster payloads (numpy, Arrow
+    batches).  Undecodable payloads -> photo_like = false with null
+    metrics (the reference's OSError guard)."""
+    from ..functions.raster import (
+        COLOR_RATIO_THRESHOLD,
+        SAT_MEAN_THRESHOLD,
+        decode_spm,
+        photo_metrics,
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    cr, sm = photo_metrics(decode_spm(raw))
+                    like = cr > COLOR_RATIO_THRESHOLD and sm > SAT_MEAN_THRESHOLD
+                    rows.append({"media_id": int(mid), "color_ratio": cr,
+                                 "sat_mean": sm, "photo_like": like})
+                except ValueError:
+                    rows.append({"media_id": int(mid), "color_ratio": None,
+                                 "sat_mean": None, "photo_like": False})
+            yield pd.DataFrame(rows, columns=[f.name for f in PHOTO_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, PHOTO_SCHEMA)
+
+
+def textless_figure_filter(
+    figures: DataFrame, photo: DataFrame, id_col: str = "media_id",
+    text_col: str = "description",
+) -> DataFrame:
+    """F5 textless-figure gate (figure_ocr.py:24-25, 254-259): a figure
+    is SKIPPED when its OCR/description text has fewer than
+    FIGURE_TEXT_MIN_TOKENS tokens of [0-9A-Za-z가-힣] AND the image is
+    photo-like.  Pure Catalyst token gate + an equi-join on the
+    classifier output; returns figures + has_text/photo_like/skip."""
+    from ..functions.raster import TEXT_TOKEN_PATTERN
+
+    has_text = (
+        F.length(
+            F.regexp_extract(F.coalesce(F.col(text_col), F.lit("")),
+                             TEXT_TOKEN_PATTERN, 0)
+        )
+        > 0
+    )
+    j = figures.join(photo.select(id_col, "photo_like"), id_col, "left")
+    return j.select(
+        "*",
+        has_text.alias("has_text"),
+    ).withColumn(
+        "skip",
+        ~F.col("has_text") & F.coalesce(F.col("photo_like"), F.lit(False)),
+    )
+
+
 def feature_extract(df: DataFrame, dim: int = 16, id_col: str = "media_id",
                     bin_col: str = "data") -> DataFrame:
     """Feature-extraction shape (stand-in: hash-derived unit vector;

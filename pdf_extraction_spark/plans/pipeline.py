@@ -21,13 +21,25 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.boilerplate import strip_stage
+from ..constants import BROADCAST_HOST_CAP
+from ..operators.boilerplate import boilerplate_patterns, strip_stage
 from ..operators.chunk import assemble_documents, chunk_stage
 from ..operators.extract import extract_stage
 from ..operators.ocr import merge_ocr, ocr_stage
 from . import stage_store
 
 STAGES = ["pages", "page_text", "doc_text", "chunks", "metrics"]
+
+
+def _strip(pages: DataFrame) -> DataFrame:
+    """Size-gated strip: measure the pattern-side host cardinality and
+    broadcast only when it fits (mirrors extract's byte gate; the
+    measurement is one tiny aggregate job against the committed pages
+    snapshot, negligible next to the layout stage)."""
+    patterns = boilerplate_patterns(pages)
+    n_hosts = patterns.select("host").distinct().count()
+    strategy = "broadcast" if n_hosts <= BROADCAST_HOST_CAP else "shuffle"
+    return strip_stage(pages, patterns, join_strategy=strategy)
 
 
 def _metrics_df(pages: DataFrame, run_id: str) -> DataFrame:
@@ -82,6 +94,12 @@ def run_pipeline(
         stage_store.commit_stage(
             _metrics_df(pages, run_id), out_root, "metrics", run_id
         )
+        # per-url input content hash — the incremental MERGE's change
+        # detector (tiny: 2 columns, one row per url)
+        stage_store.commit_stage(
+            input_df.select("url", F.md5("html").alias("content_hash")),
+            out_root, "input_hashes", run_id,
+        )
     out["pages"] = pages
     out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
     if fail_after == "pages":
@@ -90,7 +108,7 @@ def run_pipeline(
     if resume and stage_store.is_committed(out_root, "page_text"):
         page_text = stage_store.read_stage(spark, out_root, "page_text")
     else:
-        stripped = strip_stage(pages)
+        stripped = _strip(pages)
         page_text = stage_store.commit_stage(
             merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
         )
@@ -118,41 +136,99 @@ def run_pipeline(
     return out
 
 
+def run_vector_build(
+    spark: SparkSession,
+    out_root: str,
+    run_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Vector-DB build over committed pipeline stages — the reference's
+    separate build_vector_db.py job: typed chunks (page_text/table/
+    figure, source_type-tagged) -> deterministic hash embeddings + LSH
+    bucket, committed as ``typed_chunks`` and ``chunk_vectors`` stages.
+    Retrieval (chunk_hybrid_search / ANN) then runs over these tables.
+    """
+    from ..operators.chunk import typed_chunk_stage
+    from ..operators.embed import embed_stage
+    from ..operators.similarity import bucket_col
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pages = stage_store.read_stage(spark, out_root, "pages")
+    page_text = stage_store.read_stage(spark, out_root, "page_text")
+
+    typed = stage_store.commit_stage(
+        typed_chunk_stage(page_text, pages), out_root, "typed_chunks", run_id
+    )
+    from ..operators.embed import EMBED_DIM
+
+    vectors = stage_store.commit_stage(
+        embed_stage(typed).withColumn(
+            "bucket", bucket_col("embedding", dim=EMBED_DIM)
+        ),
+        out_root,
+        "chunk_vectors",
+        run_id,
+    )
+    return {"typed_chunks": typed, "chunk_vectors": vectors}
+
+
 def run_incremental(
     spark: SparkSession,
     input_df: DataFrame,
     out_root: str,
     run_id: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Incremental re-run: extract ONLY urls absent from the committed
-    pages stage (the reference's skip-if-exists at cluster scale:
-    anti-join against the committed snapshot, SURVEY §1.3), append the
-    increment, then recompute the cheap text stages over the full set
-    (the host-level boilerplate pattern set legitimately shifts as a
-    host grows, so downstream stages are corpus-consistent)."""
+    """Incremental re-run: extract urls that are NEW (absent from the
+    committed pages stage) or CHANGED (stored input content hash
+    differs — the reference's ON DUPLICATE KEY UPDATE,
+    load_to_db.py:338-364).  New rows upsert into the pages stage
+    (MERGE semantics: a changed url replaces its old rows, never
+    duplicates them), then the cheap text stages recompute over the
+    full set (the host-level boilerplate pattern set legitimately
+    shifts as a host grows, so downstream stages stay
+    corpus-consistent)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     if not stage_store.is_committed(out_root, "pages"):
         return run_pipeline(spark, input_df, out_root, resume=True, run_id=run_id)
 
     committed = stage_store.read_stage(spark, out_root, "pages")
-    new_input = input_df.join(
+    inp_h = input_df.select("url", F.md5("html").alias("content_hash"))
+    new_urls = inp_h.join(
         committed.select("url").distinct(), "url", "left_anti"
-    )
-    # the anti-join's plan depends on the very parquet dir we append to;
-    # appending would invalidate caches on that path (recacheByPath) and
-    # a recompute would see its own output.  localCheckpoint truncates
-    # the lineage eagerly so the increment is fixed before the write
-    # (Iceberg's snapshot isolation makes this a non-issue in prod).
+    ).select("url")
+    if stage_store.is_committed(out_root, "input_hashes"):
+        old_h = stage_store.read_stage(spark, out_root, "input_hashes")
+        changed_urls = (
+            inp_h.join(
+                old_h.withColumnRenamed("content_hash", "_old"), "url"
+            )
+            .filter(
+                ~F.col("content_hash").eqNullSafe(F.col("_old"))
+            )
+            .select("url")
+        )
+        todo = new_urls.unionByName(changed_urls).distinct()
+    else:  # legacy stage dir without hashes: presence-only detection
+        todo = new_urls
+    # every plan below depends on the very parquet dirs the upserts
+    # swap out; localCheckpoint materializes the increment BEFORE any
+    # rewrite so no plan re-reads a replaced snapshot (Iceberg's
+    # snapshot isolation makes this a non-issue in prod)
+    todo = todo.localCheckpoint()
+    new_input = input_df.join(todo, "url", "left_semi")
     new_pages = extract_stage(new_input).localCheckpoint()
     metrics_inc = _metrics_df(new_pages, run_id).withColumn(
         "stage", F.lit("extract_increment")
     )
-    pages = stage_store.append_stage(new_pages, out_root, "pages", run_id)
+    hashes_inc = inp_h.join(todo, "url", "left_semi").localCheckpoint()
+    pages = stage_store.upsert_stage(new_pages, out_root, "pages", run_id, ["url"])
+    stage_store.upsert_stage(
+        hashes_inc, out_root, "input_hashes", run_id, ["url"]
+    )
     stage_store.append_stage(metrics_inc, out_root, "metrics", run_id)
 
     out: dict[str, DataFrame] = {"pages": pages}
     out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
-    stripped = strip_stage(pages)
+    stripped = _strip(pages)
     page_text = stage_store.commit_stage(
         merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
     )
@@ -178,6 +254,8 @@ def main() -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--fail-after", default=None)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--vectors", action="store_true",
+                    help="also run the vector-DB build (typed chunks + embeddings)")
     args = ap.parse_args()
 
     spark = build_session("pipeline")
@@ -188,6 +266,10 @@ def main() -> int:
     )
     for name in ["pages", "page_text", "doc_text", "chunks"]:
         print(f"{name}: {out[name].count()} rows")
+    if args.vectors:
+        vec = run_vector_build(spark, args.out)
+        for name in ["typed_chunks", "chunk_vectors"]:
+            print(f"{name}: {vec[name].count()} rows")
     print(f"wall: {time.monotonic() - t0:.1f}s")
 
     if not args.skip_oracle:

@@ -56,6 +56,39 @@ def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
     return df.sparkSession.read.parquet(path)
 
 
+def upsert_stage(
+    df: DataFrame, root: str, stage: str, run_id: str, keys: list[str]
+) -> DataFrame:
+    """MERGE INTO emulation (reference load_to_db.py:338-364
+    ``ON DUPLICATE KEY UPDATE``; Iceberg MERGE in production): committed
+    rows whose key appears in ``df`` are replaced, everything else kept.
+
+    anti-join(committed, df.keys) ∪ df -> write to a temp dir -> atomic
+    swap, so a reader never sees a half-written snapshot and the input
+    snapshot is never overwritten while being read."""
+    path = _dir(root, stage)
+    if not is_committed(root, stage):
+        return commit_stage(df, root, stage, run_id)
+    spark = df.sparkSession
+    committed = spark.read.parquet(path)
+    merged = committed.join(
+        df.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(df)
+    tmp = f"{path}.tmp-{run_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    info = marker_info(root, stage) or {}
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    upserts = info.get("upserts", [])
+    upserts.append({"run_id": run_id, "committed_at": time.time()})
+    info.update({"upserts": upserts})
+    with open(os.path.join(path, MARKER), "w", encoding="utf-8") as fh:
+        json.dump(info, fh)
+    # drop stale file listings cached for the swapped path
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
 def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     return spark.read.parquet(_dir(root, stage))
 

@@ -1,0 +1,80 @@
+"""F4 photo-likeness + F5 textless-figure gate (reference
+figure_ocr.py:127-138, 24-25, 254-259) over deterministic SPM rasters."""
+
+import numpy as np
+import pytest
+
+from pdf_extraction_spark.functions.raster import (
+    decode_spm,
+    encode_spm,
+    is_photo_like,
+    photo_metrics,
+)
+from pdf_extraction_spark.operators.multimodal import (
+    photo_likeness,
+    textless_figure_filter,
+)
+
+
+def _noise_img(seed: int, size: int = 96) -> bytes:
+    """Colorful noise: many distinct colors, high saturation -> photo."""
+    rng = np.random.default_rng(seed)
+    return encode_spm(rng.integers(0, 256, (size, size, 3), dtype=np.uint8))
+
+
+def _flat_img(r: int, g: int, b: int, size: int = 96) -> bytes:
+    px = np.zeros((size, size, 3), dtype=np.uint8)
+    px[:, :] = (r, g, b)
+    return encode_spm(px)
+
+
+def test_codec_roundtrip_and_guards():
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_spm(encode_spm(px)) == px).all()
+    with pytest.raises(ValueError):
+        decode_spm(b"JPEG not really")
+    with pytest.raises(ValueError):
+        decode_spm(encode_spm(px)[:-1])  # truncated
+
+
+def test_photo_rule_matches_reference_thresholds():
+    # flat saturated color: 1 distinct color -> color_ratio tiny -> chart
+    assert not is_photo_like(_flat_img(200, 30, 30))
+    # colorful noise: thousands of colors, high saturation -> photo
+    assert is_photo_like(_noise_img(7))
+    # grayscale noise: many colors but saturation 0 -> not photo
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (96, 96, 1), dtype=np.uint8)
+    gray = encode_spm(np.repeat(g, 3, axis=2))
+    cr, sm = photo_metrics(decode_spm(gray))
+    assert sm == 0.0  # zero saturation regardless of color count
+    assert not is_photo_like(gray)
+    assert not is_photo_like(b"")  # decode failure -> False
+
+
+def test_photo_likeness_and_textless_gate_spark(spark):
+    media = spark.createDataFrame(
+        [
+            (1, _noise_img(1)),    # photo
+            (2, _flat_img(10, 200, 10)),  # chart-like
+            (3, b"broken"),        # undecodable
+        ],
+        "media_id long, data binary",
+    )
+    photo = photo_likeness(media)
+    got = {r.media_id: r for r in photo.collect()}
+    assert got[1].photo_like and not got[2].photo_like and not got[3].photo_like
+    assert got[3].color_ratio is None
+
+    figures = spark.createDataFrame(
+        [
+            (1, ""),               # textless photo -> skip
+            (2, ""),               # textless chart -> keep (not photo)
+            (3, "매출 2024 chart"),  # has text -> keep
+        ],
+        "media_id long, description string",
+    )
+    out = {r.media_id: r for r in textless_figure_filter(figures, photo).collect()}
+    assert out[1].skip and not out[1].has_text
+    assert not out[2].skip
+    assert not out[3].skip and out[3].has_text

@@ -130,3 +130,18 @@ def test_ann_bucket_no_self_join(spark, sf):
     plan = plan_of(similarity.ann_lsh_topk(emb, probe_id=0, k=5))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # probe scalar joins only
+
+
+def test_strip_default_does_not_broadcast_patterns(spark, sf):
+    """Web-scale host cardinality (10^7-10^8) cannot broadcast: the
+    DEFAULT strip join is a shuffle join on host; broadcast is an
+    explicit size-gated opt-in (pipeline measures host count against
+    BROADCAST_HOST_CAP)."""
+    from pdf_extraction_spark.schemas import PAGES
+
+    pages = spark.createDataFrame([], PAGES)
+    default_plan = plan_of(strip_stage(pages))
+    assert "BroadcastExchange" not in default_plan
+    assert "BroadcastHashJoin" not in default_plan
+    opted = plan_of(strip_stage(pages, join_strategy="broadcast"))
+    assert "BroadcastHashJoin" in opted
