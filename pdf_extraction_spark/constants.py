@@ -79,7 +79,12 @@ SPDF_MAGIC = b"%SPDF1\n"
 
 # --- scale knobs
 DEFAULT_SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS_PER_BATCH = 64   # extraction batches: docs are heavy rows
+# Arrow batch size for the extraction UDFs.  Round-1 used 64 (straggler
+# control); with task granularity now coming from fine-grained corpus
+# files (~8 scan tasks/core), bigger batches cut JVM<->Python handoffs:
+# measured pinned A/B at 48k docs — 4 cores 967->1214 docs/s,
+# 16 cores 3178->3244 docs/s going 64->2048.
+ARROW_MAX_RECORDS_PER_BATCH = 2048
 SALT_BUCKETS = 256                 # url-hash salting fan-out for extraction
 # size gate for page-level repartitioning: documents at or below this
 # payload size are laid out in place (no payload shuffle); larger ones

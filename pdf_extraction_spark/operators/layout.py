@@ -58,7 +58,9 @@ def _expand_glyphs(runs: list):
     starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
     within = np.arange(total, dtype=np.float64) - starts
     l = xs + within * advs
-    chars = np.array(list("".join(texts)), dtype="U1")
+    # U1 view over the utf-32 encoding — no per-char Python list
+    joined = "".join(texts)
+    chars = np.frombuffer(joined.encode("utf-32-le"), dtype="<U1").copy()
     keep = chars != " "
     if not keep.any():
         z = np.zeros(0)
@@ -83,8 +85,12 @@ def _lines_from_glyphs(chars, l, r, b, t, size):
     gap = np.zeros(n, dtype=bool)
     gap[1:] = (l[1:] - r[:-1]) > WORD_GAP_FACTOR * size[:-1]
     gap &= ~newline
-    prefix = np.where(newline, "\n", np.where(gap, " ", ""))
-    texts = "".join(np.char.add(prefix.astype("U1"), chars).tolist()).split("\n")
+    # interleaved U1 buffer instead of np.char.add: the elementwise
+    # string ufunc (_vec_string) was ~18% of the whole layout profile
+    buf = np.empty(2 * n, dtype="U1")
+    buf[0::2] = np.where(newline, "\n", np.where(gap, " ", ""))
+    buf[1::2] = chars
+    texts = "".join(buf.tolist()).split("\n")
     starts = np.concatenate(([0], np.flatnonzero(newline)))
     l_min = np.minimum.reduceat(l, starts)
     r_max = np.maximum.reduceat(r, starts)

@@ -84,6 +84,64 @@ def _text_runs_for_line(
     return runs
 
 
+def _grid(
+    rnd: random.Random, page: dict, top: float, *,
+    merged: bool = False, dense: bool = False, n_rows_max: int | None = None,
+) -> float:
+    """Emit one bordered table grid (title line + rects + cell text);
+    ``merged=True`` adds rowspan/colspan cells — one rect covering two
+    grid bands, with the swallowed cell emitting neither rect nor text
+    (the SPDF twin of HTML rowspan/colspan)."""
+    if n_rows_max:
+        n_rows = rnd.randint(3, n_rows_max)
+    else:
+        n_rows = rnd.randint(5, 8) if dense else rnd.randint(3, 5)
+    n_cols = rnd.randint(3, 4)
+    cell_w, cell_h = (500.0 / n_cols), 22.0
+    ty = top - 26.0
+    # title line just above the table, horizontally overlapping it
+    title_words = _words(rnd, rnd.randint(2, 5))
+    page["text"] += _text_runs_for_line(rnd, title_words, 60.0, ty + 8.0, BODY_SIZE)
+    headers = ["metric"] + [f"fy{2021 + c}" for c in range(1, n_cols)]
+    # merged-cell plan: map (r, c) -> (row_span, col_span); swallowed
+    # cells map to None.  Merges only in body rows, never overlapping.
+    span: dict[tuple[int, int], tuple[int, int] | None] = {}
+    if merged and n_rows >= 3:
+        cm = rnd.randrange(0, n_cols - 1)
+        span[(1, cm)] = (1, 2)       # colspan pair in row 1
+        span[(1, cm + 1)] = None
+        if n_rows >= 4:
+            rm = rnd.randrange(0, n_cols)
+            if (2, rm) not in span:
+                span[(2, rm)] = (2, 1)   # rowspan pair rows 2-3
+                span[(3, rm)] = None
+    for r in range(n_rows):
+        for c in range(n_cols):
+            sp = span.get((r, c), (1, 1))
+            if sp is None:
+                continue  # swallowed by a neighbouring span
+            rs, cs = sp
+            x0 = 50.0 + c * cell_w
+            y1 = ty - r * cell_h
+            y0 = y1 - rs * cell_h
+            page["rects"].append(
+                [round(x0, 2), round(y0, 2), round(x0 + cs * cell_w, 2), round(y1, 2)]
+            )
+            if r == 0:
+                txt = headers[c]
+                if c == 1 and rnd.random() < 0.5:
+                    txt = f"fy2022 (단위: {rnd.choice(['tCO2eq', 'kg', 'MWh', '%'])})"
+            elif c == 0:
+                txt = " ".join(_words(rnd, 2))
+            else:
+                val = rnd.randint(1, 99999) + rnd.choice([0, 0.5, 0.25])
+                txt = f"{val:,.1f}" if rnd.random() < 0.7 else f"{rnd.randint(1, 99)}%"
+            page["text"].append(
+                [round(x0 + 4.0, 2), round(y1 - cell_h + 7.0, 2), 8.0, txt]
+            )
+    return ty - n_rows * cell_h - 30.0
+
+
 def _spdf_page(
     rnd: random.Random,
     host: str,
@@ -98,6 +156,8 @@ def _spdf_page(
     header_figure: bool = False,
     scanned: bool = False,
     scan_text: str | None = None,
+    merged_cells: bool = False,
+    second_table: bool = False,
 ) -> dict:
     page: dict = {"w": PAGE_W, "h": PAGE_H, "text": [], "rects": [], "images": []}
     if scanned:
@@ -143,33 +203,11 @@ def _spdf_page(
         top = paragraphs(50.0, 500.0, top, bottom_lim + (340 if (with_table or with_figure) else 0))
 
     if with_table:
-        n_rows = rnd.randint(5, 8) if table_dense else rnd.randint(3, 5)
-        n_cols = rnd.randint(3, 4)
-        cell_w, cell_h = (500.0 / n_cols), 22.0
-        ty = top - 26.0
-        # title line just above the table, horizontally overlapping it
-        title_words = _words(rnd, rnd.randint(2, 5))
-        page["text"] += _text_runs_for_line(rnd, title_words, 60.0, ty + 8.0, BODY_SIZE)
-        headers = ["metric"] + [f"fy{2021 + c}" for c in range(1, n_cols)]
-        for r in range(n_rows):
-            for c in range(n_cols):
-                x0 = 50.0 + c * cell_w
-                y1 = ty - r * cell_h
-                y0 = y1 - cell_h
-                page["rects"].append([round(x0, 2), round(y0, 2), round(x0 + cell_w, 2), round(y1, 2)])
-                if r == 0:
-                    txt = headers[c]
-                    if c == 1 and rnd.random() < 0.5:
-                        txt = f"fy2022 (단위: {rnd.choice(['tCO2eq', 'kg', 'MWh', '%'])})"
-                elif c == 0:
-                    txt = " ".join(_words(rnd, 2))
-                else:
-                    val = rnd.randint(1, 99999) + rnd.choice([0, 0.5, 0.25])
-                    txt = f"{val:,.1f}" if rnd.random() < 0.7 else f"{rnd.randint(1, 99)}%"
-                page["text"].append(
-                    [round(x0 + 4.0, 2), round(y0 + 7.0, 2), 8.0, txt]
-                )
-        top = ty - n_rows * cell_h - 30.0
+        top = _grid(rnd, page, top, merged=merged_cells, dense=table_dense)
+        if second_table:
+            # a second, disjoint grid on the same page: two rect
+            # components -> two tables in detection order
+            top = _grid(rnd, page, top, merged=False, n_rows_max=3)
 
     if with_figure:
         fh = 180.0 if not table_dense else 120.0
@@ -213,6 +251,8 @@ def _spdf_doc(rnd: random.Random, doc_id: int, *, giant: bool = False) -> bytes:
                 header_figure=rnd.random() < 0.15,
                 scanned=scanned,
                 scan_text="scanned page content " + _sentence(rnd, 8, 16),
+                merged_cells=rnd.random() < 0.3,
+                second_table=rnd.random() < 0.15,
             )
         )
     # container: magic + per-page JSON records joined by the RS byte —
@@ -238,13 +278,37 @@ def _html_doc(rnd: random.Random, doc_id: int) -> bytes:
         table_rows.append(
             "<tr><th>metric</th><th>fy2022</th><th>fy2023</th></tr>"
         )
-        for _ in range(rnd.randint(2, 5)):
+        spanny = rnd.random() < 0.4
+        for i in range(rnd.randint(2, 5)):
             a = rnd.randint(1, 9999)
-            table_rows.append(
-                f"<tr><td>{' '.join(_words(rnd, 2))}</td>"
-                f"<td>{a:,}</td><td>{a + rnd.randint(1, 50):,} kg</td></tr>"
-            )
+            if spanny and i == 0:
+                # merged header-ish body row: colspan swallows a cell
+                table_rows.append(
+                    f"<tr><td>{' '.join(_words(rnd, 2))}</td>"
+                    f'<td colspan="2">{a:,} combined</td></tr>'
+                )
+            elif spanny and i == 1:
+                table_rows.append(
+                    f'<tr><td rowspan="2">{" ".join(_words(rnd, 2))}</td>'
+                    f"<td>{a:,}</td><td>{a + rnd.randint(1, 50):,} kg</td></tr>"
+                )
+            else:
+                table_rows.append(
+                    f"<tr><td>{' '.join(_words(rnd, 2))}</td>"
+                    f"<td>{a:,}</td><td>{a + rnd.randint(1, 50):,} kg</td></tr>"
+                )
     table = f"<table>{''.join(table_rows)}</table>" if table_rows else ""
+    # nested block structure: section > div > ul/li content (boilerplate
+    # strip must keep list text, flushed per li block)
+    nested = ""
+    if rnd.random() < 0.5:
+        items = "".join(f"<li>{_sentence(rnd, 8, 14)}.</li>" for _ in range(rnd.randint(2, 4)))
+        nested = (
+            f"<section><h3>{_sentence(rnd, 2, 4)}</h3>"
+            f"<div><ul>{items}</ul>"
+            f"<blockquote>{_sentence(rnd, 10, 18)} {rnd.choice(MULTIBYTE_WORDS)}"
+            f" {_sentence(rnd, 4, 8)}.</blockquote></div></section>"
+        )
     img = (
         f'<img src="/f{doc_id}.png" alt="{_sentence(rnd, 3, 6)}">'
         if rnd.random() < 0.4
@@ -258,7 +322,7 @@ def _html_doc(rnd: random.Random, doc_id: int) -> bytes:
         f"<title>{host} report {doc_id}</title>"
         "<style>body{margin:0}</style><script>var x=1;</script></head><body>"
         f"<nav>{nav}</nav><header><h1>{host} annual report</h1></header>"
-        f"<main><h2>{_sentence(rnd, 3, 6)}</h2>{''.join(paras)}{table}{img}"
+        f"<main><h2>{_sentence(rnd, 3, 6)}</h2>{''.join(paras)}{nested}{table}{img}"
         f"<div class='tags'>{linkfarm}</div></main>"
         f"<footer>copyright 2024 {host} — terms privacy contact</footer>"
         "</body></html>"
@@ -326,5 +390,19 @@ def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int | None = Non
     return spark.createDataFrame(rdd, schema=schema)
 
 
-def write_corpus(spark, path: str, n_docs: int, seed: int = 42) -> None:
-    corpus_df(spark, n_docs, seed).write.mode("overwrite").parquet(path)
+def write_corpus(
+    spark, path: str, n_docs: int, seed: int = 42,
+    n_partitions: int | None = None,
+) -> None:
+    """Write the corpus as MANY small files on purpose: one parquet
+    row group is one scan task, and the shuffle-free small-document
+    extraction path takes its parallelism from scan tasks.  32 files on
+    16 cores is 2 task waves — one slow wave-2 task adds straight to
+    wall-clock; ~8 tasks/core amortizes stragglers (measured: the
+    dominant N->4N scaling loss)."""
+    n_partitions = n_partitions or max(
+        128, spark.sparkContext.defaultParallelism * 8
+    )
+    corpus_df(spark, n_docs, seed, n_partitions=n_partitions).write.mode(
+        "overwrite"
+    ).parquet(path)
