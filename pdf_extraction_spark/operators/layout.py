@@ -76,6 +76,30 @@ def _lines_from_glyphs(chars, l, r, b, t, size):
     if n == 0:
         return []
     key = np.rint(b / LINE_Y_QUANT).astype(np.int64)
+    if n <= 96 and (key == key[0]).all():
+        # single-line fast path (typical table cell): same ordering
+        # (lexsort with a constant primary key == stable argsort on l)
+        # and the same word-gap rule, skipping the multi-line machinery
+        order = np.argsort(l, kind="stable")
+        lo, ro, so = l[order], r[order], size[order]
+        gap = (lo[1:] - ro[:-1]) > WORD_GAP_FACTOR * so[:-1]
+        parts = []
+        for i, ch in enumerate(chars[order].tolist()):
+            if i and gap[i - 1]:
+                parts.append(" ")
+            parts.append(ch)
+        return [
+            {
+                "kind": "line",
+                "text": "".join(parts),
+                "l": float(lo.min()),
+                "r": float(ro.max()),
+                "b": float(b.min()),
+                "t": float(t.max()),
+                "baseline": float(b[order[0]]),
+                "size": float(size[order[0]]),
+            }
+        ]
     order = np.lexsort((l, -key))  # primary: key desc, secondary: l asc
     chars, l, r, b, t, size, key = (
         chars[order], l[order], r[order], b[order], t[order], size[order], key[order]
@@ -156,7 +180,22 @@ def _cell_text(chars, l, r, b, t, size, mask) -> str:
     """Reading-order text of a masked glyph subset (vectorized)."""
     if not mask.any():
         return ""
-    sub = _lines_from_glyphs(chars[mask], l[mask], r[mask], b[mask], t[mask], size[mask])
+    mc, ml, mr, mb, mt, ms = (
+        chars[mask], l[mask], r[mask], b[mask], t[mask], size[mask]
+    )
+    key = np.rint(mb / LINE_Y_QUANT).astype(np.int64)
+    if (key == key[0]).all():
+        # single-line cell fast path: text only, no line dicts
+        order = np.argsort(ml, kind="stable")
+        lo, ro, so = ml[order], mr[order], ms[order]
+        gap = (lo[1:] - ro[:-1]) > WORD_GAP_FACTOR * so[:-1]
+        parts = []
+        for i, ch in enumerate(mc[order].tolist()):
+            if i and gap[i - 1]:
+                parts.append(" ")
+            parts.append(ch)
+        return "".join(parts)
+    sub = _lines_from_glyphs(mc, ml, mr, mb, mt, ms)
     return " ".join(line["text"] for line in sub)
 
 
@@ -177,6 +216,23 @@ def _detect_tables(rects, chars, l, r, b, t, size):
             "right": max(rr[2] for rr in comp),
             "top": max(rr[3] for rr in comp),
         }
+        # one bbox prefilter per component: per-cell masks then run over
+        # the table's glyph subset, not the whole page (the per-cell
+        # page-wide mask was ~18% of the layout profile)
+        if len(chars):
+            sub = (
+                (cx >= bbox["left"] - PDF_WORD_TOLERANCE)
+                & (cx <= bbox["right"] + PDF_WORD_TOLERANCE)
+                & (cy >= bbox["bottom"] - PDF_WORD_TOLERANCE)
+                & (cy <= bbox["top"] + PDF_WORD_TOLERANCE)
+            )
+            sidx = np.flatnonzero(sub)
+            scx, scy = cx[sidx], cy[sidx]
+            schars, sl, sr, sb, st, ssize = (
+                chars[sidx], l[sidx], r[sidx], b[sidx], t[sidx], size[sidx]
+            )
+        else:
+            sidx = np.zeros(0, dtype=np.int64)
         cells = []
         for rect in comp:
             x0, y0, x1, y1 = rect
@@ -194,15 +250,15 @@ def _detect_tables(rects, chars, l, r, b, t, size):
                 1,
                 sum(1 for cc in col_lefts if x0 - RECT_SNAP_TOL <= cc < x1 - RECT_SNAP_TOL),
             )
-            if len(chars):
+            if len(sidx):
                 m = (
-                    (cx >= x0 - PDF_WORD_TOLERANCE)
-                    & (cx <= x1 + PDF_WORD_TOLERANCE)
-                    & (cy >= y0 - PDF_WORD_TOLERANCE)
-                    & (cy <= y1 + PDF_WORD_TOLERANCE)
+                    (scx >= x0 - PDF_WORD_TOLERANCE)
+                    & (scx <= x1 + PDF_WORD_TOLERANCE)
+                    & (scy >= y0 - PDF_WORD_TOLERANCE)
+                    & (scy <= y1 + PDF_WORD_TOLERANCE)
                 )
-                in_table |= m
-                text = _cell_text(chars, l, r, b, t, size, m)
+                in_table[sidx[m]] = True
+                text = _cell_text(schars, sl, sr, sb, st, ssize, m)
             else:
                 text = ""
             cells.append(

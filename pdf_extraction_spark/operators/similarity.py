@@ -94,6 +94,66 @@ def lsh_buckets(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, n_planes: int = N_PLANES,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the 5th dedup mode
+    (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
+
+    Same scale shape as MinHash LSH: hyperplane bucket as a column on
+    the scan, collect the (cap-bounded) member set per bucket, emit the
+    i<j cosine pairs row-locally, keep pairs >= threshold.  One shuffle;
+    no all-pairs cross join; degenerate buckets excluded by the cap.
+    -> (id_a, id_b, cosine) with id_a < id_b.
+    """
+    b = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        bucket_col(vec_col, n_planes, dim).alias("bucket"),
+    )
+    members = (
+        b.groupBy("bucket")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+
+    def cos(a, c):
+        dot = F.aggregate(
+            F.zip_with(a["_v"], c["_v"], lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(
+            F.transform(a["_v"], lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(
+            F.transform(c["_v"], lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+        return dot / (na * nb)
+
+    def mk_pair(a, c):
+        return F.struct(
+            F.least(a["_id"], c["_id"]).alias("id_a"),
+            F.greatest(a["_id"], c["_id"]).alias("id_b"),
+            F.round(cos(a, c), 6).alias("cosine"),  # symmetric
+        )
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ms") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ms")),
+                lambda j: mk_pair(F.element_at("ms", i), F.element_at("ms", j)),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, probe_id: int, k: int = 5, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,

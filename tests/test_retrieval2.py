@@ -81,3 +81,27 @@ def test_aggregate_page_text_orders_by_chunk_id(spark):
     )
     row = retrieval.aggregate_page_text(chunks).collect()[0]
     assert row.page_text == "a b c"
+
+
+def test_embedding_neardup_pairs(spark):
+    """5th dedup mode: near-identical vectors land in one hyperplane
+    bucket and pair above the cosine threshold; orthogonal ones don't."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(3):  # 3 near-dups of `base`
+        v = base + rng.normal(scale=0.01, size=64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(3, 8):  # unrelated vectors
+        rows.append((i, [float(x) for x in rng.normal(size=64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_neardup_pairs(emb, threshold=0.9).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.cosine >= 0.9 for r in got)
+    plan = embedding_neardup_pairs(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
