@@ -112,29 +112,21 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, h0..h{n-1}) — per seed j: min(md5(j || '|' || shingle)).
 
-    Fully row-local (shingle array + array_min per seed): the signature
-    exists before any exchange, so downstream LSH shuffles only
-    (id, 32B x n) rows.  Docs with < SHINGLE_WORDS tokens are excluded
-    (no shingles), matching the exploded form and the SQL oracle.
+    Hybrid form: the shingle ARRAY is row-local (no posexplode+window —
+    that shuffled and sorted every token), then explode + groupBy with
+    map-side partial aggregation, so the md5s run in whole-stage
+    codegen (a fully row-local array_min(transform(...)) evaluates the
+    hash lambda interpreted — measured 2x slower end-to-end) and the
+    exchange carries only per-doc partial signatures (id + n x 32B).
+    Docs with < SHINGLE_WORDS tokens are excluded (no shingles),
+    matching the SQL oracle.
     """
-    sig = _let(
-        shingle_array(text_col),
-        lambda sh: F.struct(
-            *[
-                F.array_min(
-                    F.transform(
-                        sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-                    )
-                ).alias(f"h{j}")
-                for j in range(n_hashes)
-            ]
-        ),
-    )
-    return (
-        df.select(F.col(id_col), sig.alias("_sig"))
-        .select(id_col, "_sig.*")
-        .filter(F.col("h0").isNotNull())
-    )
+    sh = shingles(df, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def _band_buckets(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
@@ -266,40 +258,32 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ((strpos('0123456789abcdef', c) - 1) >> b) & 1; tokens vote +1/-1
     per bit; simhash = sum over set bits of 2^(4*p+b).
 
-    Row-local: one md5 per token (transform), a 16-wide vote vector
-    folded with aggregate/zip_with — zero shuffle, no token explode
-    (the round-1 form pushed 16x the token volume through two
-    exchanges).  Docs with no tokens are excluded (parity with the
-    exploded form / SQL oracle).
+    Hybrid form: ONE token explode (the round-1 form exploded
+    tokens x 16 bit-rows through two exchanges), all 16 bit votes as
+    codegen'd aggregate columns over that explode, one groupBy whose
+    map-side partial aggregation shrinks the exchange to one
+    17-column row per doc per partition.  Docs with no tokens are
+    excluded (parity with the SQL oracle).
     """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(text_col)).alias("w"),
+    ).withColumn("hx", F.substring(F.md5("w"), 1, 4))
 
-    def bit_votes(hx: Column) -> Column:
-        votes = []
-        for bit in range(16):
-            hexval = F.conv(F.substring(hx, bit // 4 + 1, 1), 16, 10).cast("int")
-            bitval = (
-                F.floor(hexval / F.lit(float(2 ** (bit % 4)))).cast("long") % 2
-            )
-            votes.append(F.when(bitval == 1, 1).otherwise(-1))
-        return F.array(*votes)
-
-    hxs = F.transform(tokens_col(text_col), lambda w: F.substring(F.md5(w), 1, 4))
-    vote_vec = F.aggregate(
-        hxs,
-        F.array_repeat(F.lit(0), 16),
-        lambda acc, hx: F.zip_with(acc, bit_votes(hx), lambda a, v: a + v),
+    votes = []
+    for bit in range(16):
+        hexval = F.conv(F.substring("hx", bit // 4 + 1, 1), 16, 10).cast("int")
+        bitval = (
+            F.floor(hexval / F.lit(float(2 ** (bit % 4)))).cast("long") % 2
+        )
+        votes.append(
+            F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"v{bit}")
+        )
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{bit}") >= 0, F.lit(2 ** bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for bit in range(16)
     )
-    sim = _let(
-        vote_vec,
-        lambda v: sum(
-            F.when(
-                F.element_at(v, bit + 1) >= 0, F.lit(2 ** bit).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            for bit in range(16)
-        ),
-    )
-    return (
-        df.select(F.col(id_col), F.size(tokens_col(text_col)).alias("_nt"), sim.alias("simhash"))
-        .filter(F.col("_nt") > 0)
-        .select(id_col, "simhash")
-    )
+    return agg.select(id_col, sim.alias("simhash"))

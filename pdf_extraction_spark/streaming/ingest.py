@@ -42,6 +42,87 @@ def host_rate_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_SECS = 1800
+SESSION_SCHEMA = (
+    "host string, session_id long, session_start timestamp, "
+    "session_end timestamp, n_docs long"
+)
+_STATE_SCHEMA = "last_ts long, session_id long, start_ts long, n_docs long"
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-host
+    crawl sessions closed after a 30-min ingest gap (the streaming twin
+    of the batch ``sessionize`` query).  State per host = (last event
+    ts, open session id, session start, doc count); emits one row per
+    CLOSED session; the watermark bounds state and closes sessions via
+    timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = SESSION_GAP_SECS * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (host,) = key
+        out = []
+
+        def close(sid, start_us, last_us, n):
+            out.append(
+                {
+                    "host": host,
+                    "session_id": int(sid),
+                    "session_start": pd.Timestamp(start_us, unit="us"),
+                    "session_end": pd.Timestamp(last_us, unit="us"),
+                    "n_docs": int(n),
+                }
+            )
+
+        if state.hasTimedOut:
+            last_ts, sid, start_ts, n = state.get
+            close(sid, start_ts, last_ts, n)
+            state.remove()
+        else:
+            ts_us = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["warc_ts"])
+                )
+            ts_us.sort()
+            if state.exists:
+                last_ts, sid, start_ts, n = state.get
+            else:
+                last_ts, sid, start_ts, n = None, 0, None, 0
+            for t in ts_us:
+                if last_ts is not None and t - last_ts > gap_us:
+                    close(sid, start_ts, last_ts, n)
+                    sid, start_ts, n = sid + 1, t, 0
+                if start_ts is None:
+                    start_ts = t
+                n += 1
+                last_ts = t
+            state.update((last_ts, sid, start_ts, n))
+            state.setTimeoutTimestamp(last_ts // 1000 + SESSION_GAP_SECS * 1000)
+        yield pd.DataFrame(
+            out,
+            columns=["host", "session_id", "session_start", "session_end", "n_docs"],
+        )
+
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    return (
+        stream.select(host.alias("host"), "warc_ts")
+        .withWatermark("warc_ts", "1 hour")
+        .groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     spark: SparkSession, in_path: str, out_path: str, checkpoint: str
 ):

@@ -114,3 +114,60 @@ def test_minmax_normalize_constant_guard(spark):
     df = spark.createDataFrame([(i, 7.0) for i in range(4)], "id long, s double")
     out = retrieval.minmax_normalize(df, "s", "n").collect()
     assert all(r["n"] == 0.5 for r in out)  # reference: constant -> 0.5
+
+
+def test_streaming_stateful_sessionize(spark, work_dir):
+    """Custom stateful operator (applyInPandasWithState): per-host
+    sessions close after a 30-min gap; late watermark advance from a
+    second batch flushes the closed session."""
+    from datetime import datetime, timedelta, timezone
+
+    inp = f"{work_dir}/sess_in"
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows1 = [
+        (f"https://a.example/d{i}", t0 + timedelta(minutes=5 * i)) for i in range(3)
+    ] + [
+        (f"https://b.example/d{i}", t0 + timedelta(minutes=i)) for i in range(2)
+    ]
+    # second batch: >30min gap on host a (new session) + a far-future
+    # row that advances the watermark past every earlier session
+    rows2 = [
+        ("https://a.example/late", t0 + timedelta(hours=2)),
+        ("https://c.example/probe", t0 + timedelta(days=2)),
+    ]
+    import pandas as pd
+
+    spark.createDataFrame(
+        [(u, ts, None, None, None) for u, ts in rows1],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.mode("overwrite").parquet(inp)
+
+    stream = ingest.stream_source(spark, inp)
+    out_path, ck = f"{work_dir}/sess_out", f"{work_dir}/sess_ck"
+    q = ingest.sessionize_stream(stream).writeStream.outputMode("append").format(
+        "parquet"
+    ).option("path", out_path).option("checkpointLocation", ck).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(u, ts, None, None, None) for u, ts in rows2],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.mode("append").parquet(inp)
+    q2 = ingest.sessionize_stream(ingest.stream_source(spark, inp)).writeStream.outputMode(
+        "append"
+    ).format("parquet").option("path", out_path).option(
+        "checkpointLocation", ck
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_path).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    # host a's first session (3 docs over 10 min) closed by the gap
+    a0 = [r for r in by_host.get("a.example", []) if r.session_id == 0]
+    assert len(a0) == 1 and a0[0].n_docs == 3
+    # host b's 2-doc session closed via watermark timeout
+    assert any(r.n_docs == 2 for r in by_host.get("b.example", []))

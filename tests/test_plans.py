@@ -73,20 +73,27 @@ def test_partial_aggregation_pushed(spark, sf):
 
 
 def test_dedup_family_plans_are_shuffle_lean(spark, sf):
-    """Round-2 scale rework: signatures/fingerprints/simhash collapse
-    row-locally (no Window over exploded tokens, zero exchanges);
+    """Round-2 scale rework: shingle/token arrays are row-local (no
+    Window over exploded tokens — that shuffled and SORTED the corpus);
+    signatures aggregate with map-side partial agg so the exchange
+    carries per-doc partials, with the hashing in whole-stage codegen;
     exact dedup shuffles a 32-byte hash key, never the text payload."""
     from pdf_extraction_spark.operators import dedup, quality
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    for df in (
-        dedup.minhash_signature(docs),
-        dedup.simhash16(docs),
-        quality.fingerprint(docs),
-    ):
+    for df in (dedup.minhash_signature(docs), dedup.simhash16(docs)):
         plan = plan_of(df)
         assert "Window" not in plan
-        assert "Exchange" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        # partial aggregation runs BELOW the exchange (map-side combine)
+        assert ("partial_min" in plan) or ("partial_sum" in plan)
+        assert plan.index("partial_") > plan.index("Exchange")
+        # the exchange key is the doc id, never the text/token payload
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)", plan)
+        assert m and "text#" not in m.group(1) and "doc_id#" in m.group(1)
+
+    fp = plan_of(quality.fingerprint(docs))
+    assert "Window" not in fp and "Exchange" not in fp  # fully row-local
 
     exact = plan_of(dedup.exact_dedup(docs))
     assert "Window" not in exact
@@ -107,7 +114,9 @@ def test_lsh_pairs_single_bucket_shuffle_and_cap(spark, sf):
     pairs = dedup.lsh_candidate_pairs(docs)
     plan = plan_of(pairs)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # signature partial-agg + (band,bucket) collect + final distinct —
+    # all partial-aggregated / fixed-width; never a bucket self-join
+    assert plan.count("Exchange hashpartitioning") <= 3
     # cap excludes degenerate buckets: a corpus of identical docs
     # produces one bucket above the cap -> zero pairs, but the cluster
     # stays visible through the oversize-bucket audit
