@@ -110,6 +110,72 @@ def frame_sample(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, FRAME_SCHEMA)
 
 
+RENDER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("image", T.BinaryType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+    ]
+)
+
+
+def render_pages(
+    pages: DataFrame, scale: float = 2.0, max_px: int = 320
+) -> DataFrame:
+    """S3 page-image render scan (reference structured_extract.py
+    --render-scale 2.0 via fitz page.get_pixmap): rasterize each page's
+    text-block boxes into an SPM raster at ``scale`` (clamped to
+    ``max_px`` on the long edge so test rasters stay small).  Real
+    rasterization math (numpy box fills, y-flip from PDF coords), no
+    image libraries; downstream classifiers (photo_likeness,
+    feature_extract) consume the same SPM payloads.  Pages without
+    geometry (HTML single-page docs, page_w == 0) render null."""
+    import numpy as np
+
+    from ..functions.raster import encode_spm
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                pw, ph = float(row["page_w"] or 0), float(row["page_h"] or 0)
+                if pw <= 0 or ph <= 0:
+                    rows.append({"url": row["url"], "page_no": int(row["page_no"]),
+                                 "width": None, "height": None, "image": None,
+                                 "ink_ratio": None})
+                    continue
+                s = min(scale, max_px / max(pw, ph))
+                w, h = max(1, int(pw * s)), max(1, int(ph * s))
+                px = np.full((h, w, 3), 255, dtype=np.uint8)
+                ink = 0
+                blocks = row["blocks"]
+                for blk in (blocks if blocks is not None else []):
+                    bb = blk["bbox"] if blk is not None else None
+                    if bb is None:
+                        continue
+                    x0 = max(0, int(bb["left"] * s))
+                    x1 = min(w, int(np.ceil(bb["right"] * s)))
+                    # PDF y-up -> raster y-down
+                    y0 = max(0, int((ph - bb["top"]) * s))
+                    y1 = min(h, int(np.ceil((ph - bb["bottom"]) * s)))
+                    if x1 > x0 and y1 > y0:
+                        px[y0:y1, x0:x1] = 40
+                        ink += (x1 - x0) * (y1 - y0)
+                rows.append({
+                    "url": row["url"], "page_no": int(row["page_no"]),
+                    "width": w, "height": h, "image": encode_spm(px),
+                    "ink_ratio": round(ink / float(w * h), 6),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RENDER_SCHEMA.fields])
+
+    return pages.select("url", "page_no", "page_w", "page_h", "blocks").mapInPandas(
+        fn, RENDER_SCHEMA
+    )
+
+
 PHOTO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -78,3 +78,27 @@ def test_photo_likeness_and_textless_gate_spark(spark):
     assert out[1].skip and not out[1].has_text
     assert not out[2].skip
     assert not out[3].skip and out[3].has_text
+
+
+def test_render_pages_rasterizes_blocks(spark):
+    """S3 render: block boxes become ink in an SPM raster with the PDF
+    y-flip; pages without geometry render null."""
+    from pdf_extraction_spark.operators.extract import extract_stage
+    from pdf_extraction_spark.operators.multimodal import render_pages
+    from pdf_extraction_spark.sources.corpus import corpus_df
+
+    pages = extract_stage(corpus_df(spark, 30)).filter("page_no > 0")
+    rendered = {(r.url, r.page_no): r for r in render_pages(pages).collect()}
+    assert rendered
+    spdf = [r for r in rendered.values() if r.image is not None]
+    html = [r for r in rendered.values() if r.image is None]
+    assert spdf and html  # both payload kinds present in the corpus
+    r = max(spdf, key=lambda x: x.ink_ratio)
+    px = decode_spm(bytes(r.image))
+    assert px.shape == (r.height, r.width, 3)
+    dark = (px < 128).all(axis=2).mean()
+    assert abs(dark - r.ink_ratio) < 0.05
+    assert 0.01 < r.ink_ratio < 0.9
+    # deterministic: re-render yields identical bytes
+    again = {(x.url, x.page_no): x for x in render_pages(pages).collect()}
+    assert bytes(again[(r.url, r.page_no)].image) == bytes(r.image)
