@@ -40,6 +40,11 @@ PAGES_EXT = T.StructType(
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("bytes_in", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
+        # md5 of the raw input payload, computed JVM-side on the same
+        # scan that feeds layout: the incremental MERGE's change
+        # detector reads it from the committed pages stage instead of
+        # re-scanning the input corpus (one full extra scan at 100 TB)
+        T.StructField("content_hash", T.StringType()),
     ]
 )
 
@@ -86,8 +91,10 @@ def split_pages(input_df: DataFrame) -> DataFrame:
     return input_df.select(
         "url",
         host.alias("host"),
+        F.md5(F.coalesce("html", F.lit(b""))).alias("content_hash"),
         F.explode(units).alias("u"),
     ).select(
+        "content_hash",
         "url",
         "host",
         F.col("u.page_no").alias("page_no"),
@@ -159,9 +166,9 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     batches = []
     for pdf in it:
         rows = []
-        for url, host, page_no, kind, payload, bytes_in in zip(
+        for url, host, page_no, kind, payload, bytes_in, chash in zip(
             pdf["url"], pdf["host"], pdf["page_no"], pdf["kind"],
-            pdf["payload"], pdf["bytes_in"],
+            pdf["payload"], pdf["bytes_in"], pdf["content_hash"],
         ):
             if kind == "spdf":
                 row = _page_to_row(extract_spdf_unit(payload, int(page_no)), url, host)
@@ -170,6 +177,7 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             else:
                 row = _empty_doc_row(url, host)
             row["bytes_in"] = int(bytes_in)
+            row["content_hash"] = chash
             rows.append(row)
         if rows:
             batches.append(rows)
@@ -193,18 +201,22 @@ def _layout_docs_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     batches = []
     for pdf in it:
         rows = []
-        for url, host, payload in zip(pdf["url"], pdf["host"], pdf["html"]):
+        for url, host, payload, chash in zip(
+            pdf["url"], pdf["host"], pdf["html"], pdf["content_hash"]
+        ):
             raw = bytes(payload) if payload is not None else b""
             pages = extract_payload(raw)
             if not pages:
                 row = _empty_doc_row(url, host)
                 row["bytes_in"] = len(raw)
+                row["content_hash"] = chash
                 rows.append(row)
                 continue
             per_page_bytes = len(raw) // max(1, len(pages))
             for page in pages:
                 row = _page_to_row(page, url, host)
                 row["bytes_in"] = per_page_bytes
+                row["content_hash"] = chash
                 rows.append(row)
         if rows:
             batches.append(rows)
@@ -243,7 +255,10 @@ def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataF
     # session.py so scan partitions are fine-grained)
     small = (
         base.filter(F.col("_nbytes") <= SPLIT_BYTES_THRESHOLD)
-        .select("url", "host", "html")
+        .select(
+            "url", "host", "html",
+            F.md5(F.coalesce("html", F.lit(b""))).alias("content_hash"),
+        )
         .mapInPandas(_layout_docs_fn, PAGES_EXT)
     )
     big_units = split_pages(

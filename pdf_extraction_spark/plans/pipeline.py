@@ -94,12 +94,6 @@ def run_pipeline(
         stage_store.commit_stage(
             _metrics_df(pages, run_id), out_root, "metrics", run_id
         )
-        # per-url input content hash — the incremental MERGE's change
-        # detector (tiny: 2 columns, one row per url)
-        stage_store.commit_stage(
-            input_df.select("url", F.md5("html").alias("content_hash")),
-            out_root, "input_hashes", run_id,
-        )
     out["pages"] = pages
     out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
     if fail_after == "pages":
@@ -195,22 +189,22 @@ def run_incremental(
     new_urls = inp_h.join(
         committed.select("url").distinct(), "url", "left_anti"
     ).select("url")
-    if stage_store.is_committed(out_root, "input_hashes"):
-        old_h = stage_store.read_stage(spark, out_root, "input_hashes")
+    if "content_hash" in committed.columns:
+        # change detection against the hash the extract UDF stamped on
+        # the committed pages — no extra scan of either corpus
+        old_h = committed.select(
+            "url", F.col("content_hash").alias("_old")
+        ).distinct()
         changed_urls = (
-            inp_h.join(
-                old_h.withColumnRenamed("content_hash", "_old"), "url"
-            )
-            .filter(
-                ~F.col("content_hash").eqNullSafe(F.col("_old"))
-            )
+            inp_h.join(old_h, "url")
+            .filter(~F.col("content_hash").eqNullSafe(F.col("_old")))
             .select("url")
         )
         todo = new_urls.unionByName(changed_urls).distinct()
     else:  # legacy stage dir without hashes: presence-only detection
         todo = new_urls
-    # every plan below depends on the very parquet dirs the upserts
-    # swap out; localCheckpoint materializes the increment BEFORE any
+    # every plan below depends on the very parquet dir the upsert swaps
+    # out; localCheckpoint materializes the increment BEFORE the
     # rewrite so no plan re-reads a replaced snapshot (Iceberg's
     # snapshot isolation makes this a non-issue in prod)
     todo = todo.localCheckpoint()
@@ -219,11 +213,7 @@ def run_incremental(
     metrics_inc = _metrics_df(new_pages, run_id).withColumn(
         "stage", F.lit("extract_increment")
     )
-    hashes_inc = inp_h.join(todo, "url", "left_semi").localCheckpoint()
     pages = stage_store.upsert_stage(new_pages, out_root, "pages", run_id, ["url"])
-    stage_store.upsert_stage(
-        hashes_inc, out_root, "input_hashes", run_id, ["url"]
-    )
     stage_store.append_stage(metrics_inc, out_root, "metrics", run_id)
 
     out: dict[str, DataFrame] = {"pages": pages}
