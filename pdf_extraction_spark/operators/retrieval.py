@@ -205,6 +205,73 @@ def dedup_rank1(
     )
 
 
+def assemble_context(
+    ranked: DataFrame,
+    question: str,
+    max_pages: int = 3,
+    doc_col: str = "doc_id",
+    page_col: str = "page_no",
+    text_col: str = "chunk_text",
+    order_col: str = "combined_score",
+) -> DataFrame:
+    """Deterministic context assembly (reference rag_answer.py:263-283,
+    the non-LLM tail of the RAG path): ranked chunks group per unique
+    (doc, page) in rank order, the top ``max_pages`` pages contribute a
+    '[Extracted Text for <page>]' section whose chunk texts join with
+    the reference's '\\n... \\n' separator; returns one row
+    (question, context).  The LLM generation itself is out of scope
+    (north rule: no external models)."""
+    w = Window.partitionBy(doc_col, page_col)
+    pages = (
+        ranked.withColumn("_best", F.max(order_col).over(w))
+        .groupBy(doc_col, page_col, "_best")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col(order_col)).alias("nr"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n... \n",
+            ).alias("texts")
+        )
+        .orderBy(F.desc("_best"), F.asc(doc_col), F.asc(page_col))
+        .limit(max_pages)
+    )
+    section = F.concat(
+        F.lit("\n[Extracted Text for "), F.col(doc_col).cast("string"),
+        F.lit(" p."), F.col(page_col).cast("string"), F.lit("]:\n"),
+        F.col("texts"), F.lit("\n\n"),
+    )
+    return pages.agg(
+        F.concat(
+            F.lit(f"Question: {question}\n\nContexts:\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("_best")).alias("nr"),
+                                F.col(doc_col).alias("d"),
+                                F.col(page_col).alias("p"),
+                                section.alias("s"),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                "",
+            ),
+        ).alias("context")
+    ).select(F.lit(question).alias("question"), "context")
+
+
 def aggregate_page_text(
     chunks: DataFrame,
     doc_col: str = "doc_id",

@@ -105,3 +105,27 @@ def test_embedding_neardup_pairs(spark):
     assert all(r.cosine >= 0.9 for r in got)
     plan = embedding_neardup_pairs(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_assemble_context_rag_tail(spark):
+    """Deterministic RAG context assembly: top pages in rank order,
+    per-page texts joined with the reference separator."""
+    ranked = spark.createDataFrame(
+        [
+            (1, 1, "best chunk", 0.9),
+            (1, 1, "second chunk same page", 0.8),
+            (2, 3, "other page", 0.7),
+            (4, 1, "third page", 0.6),
+            (5, 5, "cut by max_pages", 0.5),
+        ],
+        "doc_id long, page_no long, chunk_text string, combined_score double",
+    )
+    row = retrieval.assemble_context(ranked, "what is q?", max_pages=3).collect()[0]
+    assert row.question == "what is q?"
+    ctx = row.context
+    assert ctx.startswith("Question: what is q?\n\nContexts:\n")
+    assert "best chunk\n... \nsecond chunk same page" in ctx
+    assert ctx.index("[Extracted Text for 1 p.1]") < ctx.index(
+        "[Extracted Text for 2 p.3]"
+    ) < ctx.index("[Extracted Text for 4 p.1]")
+    assert "cut by max_pages" not in ctx
