@@ -18,8 +18,10 @@ def main() -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--incremental", action="store_true",
-                    help="extract only urls not yet committed")
+                    help="extract only new/changed urls (MERGE upsert)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--vectors", action="store_true",
+                    help="also build typed chunks + hash embeddings")
     args = ap.parse_args()
 
     # on a cluster: spark-submit provides master/conf; local fallback here
@@ -35,6 +37,12 @@ def main() -> int:
         out = run_pipeline(spark, inp, args.out, resume=not args.no_resume)
     for name in ("pages", "doc_text", "chunks"):
         print(f"{name}: {out[name].count()} rows")
+    if args.vectors:
+        from pdf_extraction_spark.plans.pipeline import run_vector_build
+
+        vec = run_vector_build(spark, args.out)
+        for name in ("typed_chunks", "chunk_vectors"):
+            print(f"{name}: {vec[name].count()} rows")
     return 0
 
 

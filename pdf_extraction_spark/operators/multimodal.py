@@ -186,6 +186,42 @@ PHOTO_SCHEMA = T.StructType(
 )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, size: int = 64, id_col: str = "media_id", bin_col: str = "data"
+) -> DataFrame:
+    """Resize pass over SPM raster payloads (nearest-neighbour, numpy,
+    Arrow batches) — the same downsample the photo classifier uses
+    (figure_ocr.py:131 ``img.resize((64, 64))``).  Undecodable payloads
+    -> null output row (decoder-raises contract)."""
+    from ..functions.raster import _resize_nearest, decode_spm, encode_spm
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    px = _resize_nearest(decode_spm(raw), size)
+                    rows.append({"media_id": int(mid), "width": size,
+                                 "height": size, "data": encode_spm(px)})
+                except ValueError:
+                    rows.append({"media_id": int(mid), "width": None,
+                                 "height": None, "data": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def photo_likeness(df: DataFrame, id_col: str = "media_id", bin_col: str = "data") -> DataFrame:
     """F4 photo-likeness classifier (reference is_photo_like,
     figure_ocr.py:127-138): 64x64 color-count ratio > 0.28 AND mean

@@ -102,3 +102,19 @@ def test_render_pages_rasterizes_blocks(spark):
     # deterministic: re-render yields identical bytes
     again = {(x.url, x.page_no): x for x in render_pages(pages).collect()}
     assert bytes(again[(r.url, r.page_no)].image) == bytes(r.image)
+
+
+def test_resize_images(spark):
+    import numpy as np
+
+    from pdf_extraction_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(5)
+    big = encode_spm(rng.integers(0, 256, (128, 200, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, big), (2, b"junk")], "media_id long, data binary"
+    )
+    got = {r.media_id: r for r in resize_images(media, size=64).collect()}
+    px = decode_spm(bytes(got[1].data))
+    assert px.shape == (64, 64, 3)
+    assert got[2].data is None
