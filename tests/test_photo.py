@@ -118,3 +118,48 @@ def test_resize_images(spark):
     px = decode_spm(bytes(got[1].data))
     assert px.shape == (64, 64, 3)
     assert got[2].data is None
+
+
+def test_figures_path_textless_photo_gate(spark):
+    """F4+F5 wired into the figures path: pipeline doc_figures join a
+    media table of figure rasters -> photo classifier -> skip decision
+    (reference figure_ocr.py:254-259 --skip-textless flow)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators import regions
+    from pdf_extraction_spark.operators.extract import extract_stage
+    from pdf_extraction_spark.operators.multimodal import (
+        photo_likeness,
+        textless_figure_filter,
+    )
+    from pdf_extraction_spark.sources.corpus import corpus_df
+
+    figs = regions.doc_figures(
+        extract_stage(corpus_df(spark, 40)).filter("page_no > 0")
+    ).withColumn(
+        "media_id", F.xxhash64("url", "page_no", "figure_index")
+    )
+    rows = figs.select("media_id").collect()
+    assert rows
+    # deterministic per-figure rasters: alternate photo-noise / flat
+    rng = np.random.default_rng(9)
+    media = []
+    for i, r in enumerate(rows):
+        if i % 2 == 0:
+            px = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+        else:
+            px = np.full((80, 80, 3), (30, 180, 30), dtype=np.uint8)
+        media.append((r.media_id, encode_spm(px)))
+    media_df = spark.createDataFrame(media, "media_id long, data binary")
+
+    gated = textless_figure_filter(
+        figs, photo_likeness(media_df), text_col="description"
+    )
+    got = gated.collect()
+    assert got
+    for r in got:
+        # skip iff textless AND photo-like, exactly the reference rule
+        assert r.skip == ((not r.has_text) and bool(r.photo_like))
+    # corpus figures carry FIG: descriptions -> most have text
+    assert any(r.has_text for r in got)
