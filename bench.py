@@ -47,7 +47,7 @@ def ensure_corpus(spark, n_docs: int) -> str:
     return path
 
 
-def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, int]:
+def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, int, int]:
     from pdf_extraction_spark.operators.extract import extract_stage
 
     inp = spark.read.parquet(corpus_path)
@@ -58,7 +58,7 @@ def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, in
         # docs/sec scaling the north_rule measures
         t0 = time.monotonic()
         extract_stage(inp).write.mode("overwrite").format("noop").save()
-        return time.monotonic() - t0, n_docs
+        return time.monotonic() - t0, n_docs, 0
     # the real committed pipeline: every stage lands in the stage store
     # (parquet snapshot) and downstream stages re-read it — partition
     # counts renormalize at each boundary and column pruning comes from
@@ -70,8 +70,13 @@ def run_extract(spark, corpus_path: str, stage: str = "full") -> tuple[float, in
     stage_root = "/root/repo/.work/bench_stages"
     shutil.rmtree(stage_root, ignore_errors=True)
     t0 = time.monotonic()
-    run_pipeline(spark, inp, stage_root, resume=False)
-    return time.monotonic() - t0, n_docs
+    out = run_pipeline(spark, inp, stage_root, resume=False)
+    dt = time.monotonic() - t0
+    # pages processed: per-doc work varies with the corpus generation
+    # (round 2 enriched it), so pages/sec is the cross-round-comparable
+    # number; counted outside the timed window from the committed stage
+    n_pages = out["pages"].filter("page_no > 0").count()
+    return dt, n_docs, n_pages
 
 
 def headline_queries(sf_dir: str):
@@ -129,14 +134,14 @@ def main() -> int:
     log(f"extract pipeline ({n_docs} docs, {args.runs} run(s))...")
     times = []
     for _ in range(args.runs):
-        dt, n = run_extract(spark, corpus, args.stage)
+        dt, n, n_pages = run_extract(spark, corpus, args.stage)
         times.append(dt)
     results["extract_pipeline"] = round(statistics.median(times), 3)
     docs_per_sec = round(n_docs / results["extract_pipeline"], 2)
     docs_per_sec_peak = round(n_docs / min(times), 2)
     log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec, peak {docs_per_sec_peak})")
     if args.stage == "full" and not args.extract_only:
-        dt2, _ = run_extract(spark, corpus, "extract")
+        dt2, _, _ = run_extract(spark, corpus, "extract")
         results["extract_stage"] = round(dt2, 3)
         extract_stage_dps = round(n_docs / dt2, 2)
         log(f"  extract_stage: {dt2:.3f}s ({extract_stage_dps} docs/sec)")
@@ -163,6 +168,8 @@ def main() -> int:
         "sf": sf,
         "docs_per_sec": docs_per_sec,
         "docs_per_sec_peak": docs_per_sec_peak,
+        "extract_pages": n_pages,
+        "pages_per_sec": round(n_pages / results["extract_pipeline"], 2) if n_pages else None,
         "extract_stage_docs_per_sec": extract_stage_dps,
         "extract_docs": n_docs,
         "cpus": args.cpus,
