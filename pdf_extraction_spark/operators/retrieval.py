@@ -100,6 +100,26 @@ def minmax_normalize(
     return j.withColumn(out_col, norm).drop("_mn", "_mx")
 
 
+def minmax_normalize_many(
+    df: DataFrame, cols: dict[str, str], eps: float = NORM_EPS
+) -> DataFrame:
+    """A9 for several columns in ONE stats pass: a single global
+    aggregate + one broadcast cross-join instead of one per column
+    (hybrid normalizes two scores — chaining minmax_normalize scanned
+    and broadcast twice)."""
+    aggs = []
+    for col in cols:
+        aggs += [F.min(col).alias(f"_mn_{col}"), F.max(col).alias(f"_mx_{col}")]
+    j = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for col, out_col in cols.items():
+        mn, mx = F.col(f"_mn_{col}"), F.col(f"_mx_{col}")
+        j = j.withColumn(
+            out_col,
+            F.when((mx - mn) < eps, F.lit(0.5)).otherwise((F.col(col) - mn) / (mx - mn)),
+        )
+    return j.drop(*[c for col in cols for c in (f"_mn_{col}", f"_mx_{col}")])
+
+
 def hybrid_search(
     docs: DataFrame,
     query: str,
@@ -120,8 +140,9 @@ def hybrid_search(
         .withColumn("semantic_score", F.round("semantic_score", 6))
         .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
     )
-    cand = minmax_normalize(cand, "semantic_score", "sem_norm")
-    cand = minmax_normalize(cand, "keyword_score", "kw_norm")
+    cand = minmax_normalize_many(
+        cand, {"semantic_score": "sem_norm", "keyword_score": "kw_norm"}
+    )
     combined = (
         F.lit(SEMANTIC_WEIGHT) * F.col("sem_norm")
         + F.lit(KEYWORD_WEIGHT) * F.col("kw_norm")
@@ -350,8 +371,9 @@ def chunk_hybrid_search(
         .withColumn("keyword_score", F.coalesce("keyword_score", F.lit(0.0)))
         .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
     )
-    cand = minmax_normalize(cand, "semantic_score", "sem_norm")
-    cand = minmax_normalize(cand, "keyword_score", "kw_norm")
+    cand = minmax_normalize_many(
+        cand, {"semantic_score": "sem_norm", "keyword_score": "kw_norm"}
+    )
     combined = (
         F.lit(SEMANTIC_WEIGHT) * F.col("sem_norm")
         + F.lit(KEYWORD_WEIGHT) * F.col("kw_norm")
