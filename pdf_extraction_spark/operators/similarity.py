@@ -94,6 +94,98 @@ def lsh_buckets(
     )
 
 
+def _centroids_row(
+    embeddings: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic IVF 'training': the n_lists lowest-id vectors seed
+    the inverted lists (replayable without k-means iterations); packed
+    into ONE row so assignment is a broadcast + row-local argmax, never
+    a driver collect."""
+    seeds = embeddings.orderBy(id_col).limit(n_lists)
+    return seeds.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("cid"),
+                F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+            )
+        ).alias("_cents")
+    )
+
+
+def _cos_to(vec_col: str, other) -> "F.Column":
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return _dot(v, other) / (_norm(v) * _norm(other) + F.lit(1e-12))
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_lists: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """embeddings + ``list_id``: nearest seed centroid by cosine
+    (IVF coarse quantizer).  One broadcast of the (tiny) centroid row;
+    assignment is a row-local fold over the centroid array."""
+    cents = _centroids_row(embeddings, n_lists, id_col, vec_col)
+    best = F.aggregate(
+        F.col("_cents"),
+        F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("sim")),
+        lambda acc, c: F.when(
+            _cos_to(vec_col, c["cv"]) > acc["sim"],
+            F.struct(c["cid"].alias("cid"), _cos_to(vec_col, c["cv"]).alias("sim")),
+        ).otherwise(acc),
+    )
+    return embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "list_id", best["cid"]
+    ).drop("_cents")
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, probe_id: int, k: int = 5, n_lists: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only the vectors whose inverted list is among the
+    probe's n_probe nearest centroids — the scale path that prunes
+    1 - n_probe/n_lists of the corpus per query (the LSH variant is
+    ann_lsh_topk; both avoid the full scan cosine_topk performs)."""
+    assigned = ivf_assign(embeddings, n_lists, id_col, vec_col)
+    cents = _centroids_row(embeddings, n_lists, id_col, vec_col)
+    # the probe's n_probe nearest lists, row-locally: sort centroid
+    # structs by (-cosine, cid) and slice
+    probe_lists = (
+        embeddings.filter(F.col(id_col) == probe_id)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                (-_cos_to(vec_col, c["cv"])).alias("neg"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["cid"],
+                ),
+                1, n_probe,
+            ).alias("_lists"),
+            F.col(vec_col).alias("_probe"),
+        )
+    )
+    cand = assigned.crossJoin(F.broadcast(probe_lists)).filter(
+        F.array_contains(F.col("_lists"), F.col("list_id"))
+        & (F.col(id_col) != probe_id)
+    )
+    cos = _dot(F.col(vec_col), F.col("_probe")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_probe"))
+    )
+    return (
+        cand.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,

@@ -129,3 +129,24 @@ def test_assemble_context_rag_tail(spark):
         "[Extracted Text for 2 p.3]"
     ) < ctx.index("[Extracted Text for 4 p.1]")
     assert "cut by max_pages" not in ctx
+
+
+def test_ann_ivf_topk_recall_and_plan(spark):
+    """IVF ANN: on the test embeddings the pruned search recovers most
+    of the brute-force top-k; the plan stays broadcast-only."""
+    from pdf_extraction_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = ivf_assign(emb, n_lists=8)
+    n_lists = assigned.select("list_id").distinct().count()
+    assert 2 <= n_lists <= 8  # coarse quantizer actually partitions
+    brute = [r.vec_id for r in cosine_topk(emb, probe_id=3, k=5).collect()]
+    ivf = [r.vec_id for r in ann_ivf_topk(emb, probe_id=3, k=5, n_probe=4).collect()]
+    assert len(ivf) == 5
+    assert len(set(brute) & set(ivf)) >= 3  # decent recall at n_probe=4
+    plan = ann_ivf_topk(emb, probe_id=3, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
