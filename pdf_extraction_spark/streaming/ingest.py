@@ -42,6 +42,26 @@ def host_rate_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_extract(
+    spark: SparkSession, in_path: str, out_path: str, checkpoint: str
+):
+    """Continuous extraction: the SAME extract_stage dataflow (format
+    sniff, size-gated page split, vectorized layout UDF) bound to a
+    file stream — new corpus files become page rows incrementally,
+    exactly-once via the checkpoint.  Returns the started query."""
+    from ..operators.extract import extract_stage
+
+    pages = extract_stage(stream_source(spark, in_path))
+    return (
+        pages.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_GAP_SECS = 1800
 SESSION_SCHEMA = (
     "host string, session_id long, session_start timestamp, "

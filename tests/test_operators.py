@@ -171,3 +171,32 @@ def test_streaming_stateful_sessionize(spark, work_dir):
     assert len(a0) == 1 and a0[0].n_docs == 3
     # host b's 2-doc session closed via watermark timeout
     assert any(r.n_docs == 2 for r in by_host.get("b.example", []))
+
+
+def test_streaming_extract_incremental(spark, work_dir):
+    """The extraction dataflow bound to a file stream: two AvailableNow
+    drains; the second processes only the new file, output equals the
+    batch extraction of the full input."""
+    from pdf_extraction_spark.operators.extract import extract_stage
+    from pdf_extraction_spark.sources.corpus import corpus_df
+
+    inp, out, ck = (f"{work_dir}/sx_in", f"{work_dir}/sx_out", f"{work_dir}/sx_ck")
+    first = corpus_df(spark, 20)
+    first.write.mode("overwrite").parquet(inp)
+    q = ingest.stream_extract(spark, inp, out, ck)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+
+    import pyspark.sql.functions as F
+
+    doc_no = F.regexp_extract("url", r"doc(\d+)$", 1).cast("int")
+    second = corpus_df(spark, 30).filter(doc_no >= 20)
+    second.write.mode("append").parquet(inp)
+    q2 = ingest.stream_extract(spark, inp, out, ck)
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() > n1
+    batch = extract_stage(spark.read.parquet(inp))
+    assert got.count() == batch.count()
+    assert got.select("url").distinct().count() == 30
