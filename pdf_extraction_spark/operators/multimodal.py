@@ -140,10 +140,13 @@ def render_pages(
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                pw, ph = float(row["page_w"] or 0), float(row["page_h"] or 0)
+            for url, page_no, page_w, page_h, blocks in zip(
+                pdf["url"], pdf["page_no"], pdf["page_w"], pdf["page_h"],
+                pdf["blocks"],
+            ):
+                pw, ph = float(page_w or 0), float(page_h or 0)
                 if pw <= 0 or ph <= 0:
-                    rows.append({"url": row["url"], "page_no": int(row["page_no"]),
+                    rows.append({"url": url, "page_no": int(page_no),
                                  "width": None, "height": None, "image": None,
                                  "ink_ratio": None})
                     continue
@@ -151,7 +154,6 @@ def render_pages(
                 w, h = max(1, int(pw * s)), max(1, int(ph * s))
                 px = np.full((h, w, 3), 255, dtype=np.uint8)
                 ink = 0
-                blocks = row["blocks"]
                 for blk in (blocks if blocks is not None else []):
                     bb = blk["bbox"] if blk is not None else None
                     if bb is None:
@@ -165,7 +167,7 @@ def render_pages(
                         px[y0:y1, x0:x1] = 40
                         ink += (x1 - x0) * (y1 - y0)
                 rows.append({
-                    "url": row["url"], "page_no": int(row["page_no"]),
+                    "url": url, "page_no": int(page_no),
                     "width": w, "height": h, "image": encode_spm(px),
                     "ink_ratio": round(ink / float(w * h), 6),
                 })

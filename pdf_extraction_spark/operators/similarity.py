@@ -94,22 +94,59 @@ def lsh_buckets(
     )
 
 
-def _centroids_row(
-    embeddings: DataFrame, n_lists: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """Deterministic IVF 'training': the n_lists lowest-id vectors seed
-    the inverted lists (replayable without k-means iterations); packed
-    into ONE row so assignment is a broadcast + row-local argmax, never
-    a driver collect."""
-    seeds = embeddings.orderBy(id_col).limit(n_lists)
-    return seeds.agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).alias("cid"),
-                F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
-            )
+def _pack_centroids(cent_tbl: DataFrame) -> DataFrame:
+    """(cid, cv) rows -> ONE row carrying a cid-sorted centroid array.
+    array_sort on the struct orders by cid (first field), so the packed
+    list is deterministic regardless of collect_list's arrival order —
+    ties in the row-local argmax then break identically on every run."""
+    return cent_tbl.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
         ).alias("_cents")
     )
+
+
+def ivf_train(
+    embeddings: DataFrame, n_lists: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer training: seed with the
+    n_lists lowest-id vectors, then ``iters`` Lloyd refinement steps —
+    assign every vector to its nearest centroid (broadcast + row-local
+    argmax) and recompute each centroid as the per-dimension mean of
+    its list (one partial-aggregated groupBy whose exchange carries
+    ``dim`` doubles per partial, never the vectors).  Means are rounded
+    to 9 decimals so partial-sum merge order cannot perturb the result;
+    a list that empties keeps its previous centroid.  Returns the
+    packed single-row centroid table (see _pack_centroids) — pass the
+    SAME row to ivf_assign and the probe-list computation so both sides
+    of the search quantize identically."""
+    vecs = embeddings.select(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
+    )
+    cent_tbl = embeddings.orderBy(id_col).limit(n_lists).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    ).localCheckpoint()
+    for _ in range(max(0, iters)):
+        cents = _pack_centroids(cent_tbl)
+        assigned = vecs.crossJoin(F.broadcast(cents)).select(
+            "_v", _argmax_cid("_v").alias("cid")
+        )
+        new_tbl = assigned.groupBy("cid").agg(
+            *[
+                F.round(F.avg(F.col("_v")[i]), 9).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        ).select(
+            "cid", F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_cv_new")
+        )
+        cent_tbl = (
+            cent_tbl.join(new_tbl, "cid", "left")
+            .select("cid", F.coalesce("_cv_new", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return _pack_centroids(cent_tbl)
 
 
 def _cos_to(vec_col: str, other) -> "F.Column":
@@ -117,24 +154,33 @@ def _cos_to(vec_col: str, other) -> "F.Column":
     return _dot(v, other) / (_norm(v) * _norm(other) + F.lit(1e-12))
 
 
-def ivf_assign(
-    embeddings: DataFrame, n_lists: int = 8, id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """embeddings + ``list_id``: nearest seed centroid by cosine
-    (IVF coarse quantizer).  One broadcast of the (tiny) centroid row;
-    assignment is a row-local fold over the centroid array."""
-    cents = _centroids_row(embeddings, n_lists, id_col, vec_col)
-    best = F.aggregate(
+def _argmax_cid(vec_col: str) -> "F.Column":
+    """Row-local nearest-centroid id over the broadcast ``_cents`` array
+    (strict > keeps the lowest cid on exact ties — deterministic given
+    the cid-sorted packing)."""
+    return F.aggregate(
         F.col("_cents"),
         F.struct(F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("sim")),
         lambda acc, c: F.when(
             _cos_to(vec_col, c["cv"]) > acc["sim"],
             F.struct(c["cid"].alias("cid"), _cos_to(vec_col, c["cv"]).alias("sim")),
         ).otherwise(acc),
-    )
+    )["cid"]
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_lists: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", cents: DataFrame | None = None,
+) -> DataFrame:
+    """embeddings + ``list_id``: nearest trained centroid by cosine
+    (IVF coarse quantizer).  One broadcast of the (tiny) centroid row;
+    assignment is a row-local fold over the centroid array.  Pass the
+    ``cents`` row from ivf_train to share one training pass across
+    assignment and probing."""
+    if cents is None:
+        cents = ivf_train(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
     return embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "list_id", best["cid"]
+        "list_id", _argmax_cid(vec_col)
     ).drop("_cents")
 
 
@@ -145,9 +191,11 @@ def ann_ivf_topk(
     """IVF ANN: score only the vectors whose inverted list is among the
     probe's n_probe nearest centroids — the scale path that prunes
     1 - n_probe/n_lists of the corpus per query (the LSH variant is
-    ann_lsh_topk; both avoid the full scan cosine_topk performs)."""
-    assigned = ivf_assign(embeddings, n_lists, id_col, vec_col)
-    cents = _centroids_row(embeddings, n_lists, id_col, vec_col)
+    ann_lsh_topk; both avoid the full scan cosine_topk performs).
+    Trains ONCE and feeds the same centroid row to assignment and to
+    the probe-list computation."""
+    cents = ivf_train(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, n_lists, id_col, vec_col, cents=cents)
     # the probe's n_probe nearest lists, row-locally: sort centroid
     # structs by (-cosine, cid) and slice
     probe_lists = (

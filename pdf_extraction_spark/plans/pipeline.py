@@ -176,16 +176,32 @@ def run_incremental(
     differs — the reference's ON DUPLICATE KEY UPDATE,
     load_to_db.py:338-364).  New rows upsert into the pages stage
     (MERGE semantics: a changed url replaces its old rows, never
-    duplicates them), then the cheap text stages recompute over the
-    full set (the host-level boilerplate pattern set legitimately
-    shifts as a host grows, so downstream stages stay
-    corpus-consistent)."""
+    duplicates them).
+
+    Downstream text stages recompute HOST-SCOPED, not corpus-wide: the
+    boilerplate pattern set is per-host, so only hosts that received
+    new/changed pages can produce different strip output — those
+    hosts' pages re-strip/re-assemble/re-chunk and MERGE into the
+    committed stages; every other host's rows survive the increment
+    untouched (the cluster-scale form of the reference's per-page
+    skip-if-exists resume, table_ocr.py:312-313, figure_ocr.py:262-264,
+    table_diff.py:153-155).  The OCR kernel is page-local (host
+    patterns never touch it), so within an affected host only the
+    changed urls re-OCR; unchanged urls' OCR rows are reused from the
+    committed snapshot.  An empty increment is a full no-op — no stage
+    is rewritten."""
     run_id = run_id or uuid.uuid4().hex[:12]
     if not stage_store.is_committed(out_root, "pages"):
         return run_pipeline(spark, input_df, out_root, resume=True, run_id=run_id)
 
     committed = stage_store.read_stage(spark, out_root, "pages")
-    inp_h = input_df.select("url", F.md5("html").alias("content_hash"))
+    # MUST be the exact expression extract_stage stamps (extract.py:94,
+    # 260) — a bare md5("html") maps null payloads to null, and
+    # eqNullSafe would then flag every null-payload url as changed on
+    # every run, so incremental never converges to a no-op for them
+    inp_h = input_df.select(
+        "url", F.md5(F.coalesce("html", F.lit(b""))).alias("content_hash")
+    )
     new_urls = inp_h.join(
         committed.select("url").distinct(), "url", "left_anti"
     ).select("url")
@@ -208,6 +224,16 @@ def run_incremental(
     # rewrite so no plan re-reads a replaced snapshot (Iceberg's
     # snapshot isolation makes this a non-issue in prod)
     todo = todo.localCheckpoint()
+    downstream_committed = all(
+        stage_store.is_committed(out_root, s)
+        for s in ("page_text", "doc_text", "chunks")
+    )
+    if todo.isEmpty() and downstream_committed:
+        # nothing new, nothing changed: the increment is a pure no-op
+        return {
+            s: stage_store.read_stage(spark, out_root, s) for s in STAGES
+        }
+
     new_input = input_df.join(todo, "url", "left_semi")
     new_pages = extract_stage(new_input).localCheckpoint()
     metrics_inc = _metrics_df(new_pages, run_id).withColumn(
@@ -218,17 +244,53 @@ def run_incremental(
 
     out: dict[str, DataFrame] = {"pages": pages}
     out["metrics"] = stage_store.read_stage(spark, out_root, "metrics")
-    stripped = _strip(pages)
-    page_text = stage_store.commit_stage(
-        merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
+
+    if not downstream_committed:
+        # a prior run died before the text stages committed: no
+        # committed snapshot to merge into — compute them corpus-wide
+        stripped = _strip(pages)
+        page_text = stage_store.commit_stage(
+            merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
+        )
+        out["page_text"] = page_text
+        doc_text = stage_store.commit_stage(
+            assemble_documents(page_text), out_root, "doc_text", run_id
+        )
+        out["doc_text"] = doc_text
+        out["chunks"] = stage_store.commit_stage(
+            chunk_stage(doc_text), out_root, "chunks", run_id
+        )
+        return out
+
+    # ---- host-scoped downstream merge ----
+    affected_hosts = new_pages.select("host").distinct().localCheckpoint()
+    sub_pages = pages.join(affected_hosts, "host", "left_semi")
+    affected_urls = sub_pages.select("url").distinct().localCheckpoint()
+
+    # strip over ALL affected-host pages (their pattern sets shifted);
+    # OCR only the changed urls (page-local kernel) + reuse the
+    # committed OCR rows of the host's unchanged urls
+    committed_pt = stage_store.read_stage(spark, out_root, "page_text")
+    reused_ocr = (
+        committed_pt.filter(F.col("ocr_triggered"))
+        .join(affected_urls, "url", "left_semi")
+        .join(todo, "url", "left_anti")
     )
-    out["page_text"] = page_text
-    doc_text = stage_store.commit_stage(
-        assemble_documents(page_text), out_root, "doc_text", run_id
+    pt_inc = (
+        merge_ocr(_strip(sub_pages), ocr_stage(new_pages))
+        .unionByName(reused_ocr)
+        .localCheckpoint()
     )
-    out["doc_text"] = doc_text
-    out["chunks"] = stage_store.commit_stage(
-        chunk_stage(doc_text), out_root, "chunks", run_id
+    out["page_text"] = stage_store.upsert_stage(
+        pt_inc, out_root, "page_text", run_id, ["url"], delete_scope=affected_urls
+    )
+    dt_inc = assemble_documents(pt_inc).localCheckpoint()
+    out["doc_text"] = stage_store.upsert_stage(
+        dt_inc, out_root, "doc_text", run_id, ["url"], delete_scope=affected_urls
+    )
+    ch_inc = chunk_stage(dt_inc).localCheckpoint()
+    out["chunks"] = stage_store.upsert_stage(
+        ch_inc, out_root, "chunks", run_id, ["url"], delete_scope=affected_urls
     )
     return out
 

@@ -32,14 +32,27 @@ def is_committed(root: str, stage: str) -> bool:
 def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
     """Write + mark committed; returns the re-read DataFrame (so
     downstream stages consume the materialized snapshot, not the
-    lineage — the checkpoint/resume boundary)."""
+    lineage — the checkpoint/resume boundary).
+
+    Same crash discipline as ``upsert_stage``: the snapshot is written
+    and marked in a temp dir, any previous snapshot is renamed aside,
+    the temp dir renamed into place, and the old snapshot deleted last
+    — at no instant is the directory missing a marked snapshot."""
     path = _dir(root, stage)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    df.write.mode("overwrite").parquet(path)
-    with open(os.path.join(path, MARKER), "w", encoding="utf-8") as fh:
+    tmp = f"{path}.tmp-{run_id}"
+    df.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump({"run_id": run_id, "committed_at": time.time()}, fh)
-    return df.sparkSession.read.parquet(path)
+    old = None
+    if os.path.exists(path):
+        old = f"{path}.old-{run_id}"
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old is not None:
+        shutil.rmtree(old)
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
 
 
 def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
@@ -57,33 +70,54 @@ def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
 
 
 def upsert_stage(
-    df: DataFrame, root: str, stage: str, run_id: str, keys: list[str]
+    df: DataFrame,
+    root: str,
+    stage: str,
+    run_id: str,
+    keys: list[str],
+    delete_scope: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE INTO emulation (reference load_to_db.py:338-364
     ``ON DUPLICATE KEY UPDATE``; Iceberg MERGE in production): committed
     rows whose key appears in ``df`` are replaced, everything else kept.
 
-    anti-join(committed, df.keys) ∪ df -> write to a temp dir -> atomic
+    anti-join(committed, scope keys) ∪ df -> write to a temp dir ->
     swap, so a reader never sees a half-written snapshot and the input
-    snapshot is never overwritten while being read."""
+    snapshot is never overwritten while being read.  The swap keeps a
+    committed snapshot on disk at every instant: the new snapshot is
+    fully written AND marked inside the temp dir first, the old dir is
+    renamed aside (not deleted), the temp dir renamed into place, and
+    only then is the old snapshot dropped — a crash at any point leaves
+    either the old or the new marked snapshot recoverable.
+
+    ``delete_scope`` (optional) widens the set of committed rows the
+    merge REPLACES beyond df's own keys: committed rows whose key
+    appears in ``delete_scope`` are dropped even if ``df`` carries no
+    replacement (MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE,
+    scoped).  The host-scoped incremental uses this so a url whose
+    recompute now yields zero rows (e.g. its text stripped to empty)
+    does not leave stale rows behind."""
     path = _dir(root, stage)
     if not is_committed(root, stage):
         return commit_stage(df, root, stage, run_id)
     spark = df.sparkSession
     committed = spark.read.parquet(path)
-    merged = committed.join(
-        df.select(*keys).distinct(), keys, "left_anti"
-    ).unionByName(df)
+    scope = delete_scope if delete_scope is not None else df.select(*keys).distinct()
+    merged = committed.join(scope.select(*keys).distinct(), keys, "left_anti").unionByName(
+        df, allowMissingColumns=True
+    )
     tmp = f"{path}.tmp-{run_id}"
     merged.write.mode("overwrite").parquet(tmp)
     info = marker_info(root, stage) or {}
-    shutil.rmtree(path)
-    os.rename(tmp, path)
     upserts = info.get("upserts", [])
     upserts.append({"run_id": run_id, "committed_at": time.time()})
     info.update({"upserts": upserts})
-    with open(os.path.join(path, MARKER), "w", encoding="utf-8") as fh:
+    with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump(info, fh)
+    old = f"{path}.old-{run_id}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     # drop stale file listings cached for the swapped path
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path)

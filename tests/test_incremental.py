@@ -69,6 +69,123 @@ def test_incremental_merge_replaces_changed_url(spark, work_dir):
     assert sum(r["urls_in"] for r in m2 if r["run_id"] == "noop") == 0
 
 
+def test_incremental_downstream_is_host_scoped(spark, work_dir):
+    """Downstream text stages on an incremental run recompute only the
+    AFFECTED hosts (those that received new/changed pages); every other
+    host's page_text/doc_text/chunks rows survive the increment
+    untouched, the stage markers keep their original run_id (the merge
+    is an upsert, not a re-commit), and the final state is
+    byte-identical to a from-scratch run over the full corpus."""
+    from pyspark.sql import functions as F
+
+    root = f"{work_dir}/hostscope"
+    base = corpus_df(spark, 60)
+    run_pipeline(spark, base, root, resume=False, run_id="base")
+    base_urls = [r["url"] for r in base.select("url").collect()]
+
+    # increment: the 60 base docs plus ONLY the new docs of host src0
+    # (doc_id % 8 == 0), so exactly one host is affected
+    inc_input = corpus_df(spark, 90).filter(
+        (F.expr("parse_url(url, 'HOST')") == "src0.example")
+        | F.col("url").isin(base_urls)
+    )
+    inc_urls = {r["url"] for r in inc_input.select("url").collect()}
+
+    committed_pt = stage_store.read_stage(spark, root, "page_text")
+    pages_base = stage_store.read_stage(spark, root, "pages")
+    untouched_urls = {
+        r["url"]
+        for r in pages_base.filter(F.col("host") != "src0.example")
+        .select("url").distinct().collect()
+    }
+    assert untouched_urls, "fixture corpus must leave at least one host untouched"
+    before = {
+        (r["url"], r["page_no"]): r["page_text"]
+        for r in committed_pt.collect()
+        if r["url"] in untouched_urls
+    }
+
+    out = run_incremental(spark, inc_input, root, run_id="incr")
+
+    # untouched hosts' page_text rows survive bit-for-bit
+    after = {
+        (r["url"], r["page_no"]): r["page_text"]
+        for r in out["page_text"].collect()
+        if r["url"] in untouched_urls
+    }
+    assert after == before
+
+    # markers: original commit run_id preserved, increment recorded as upsert
+    for stage in ("page_text", "doc_text", "chunks"):
+        info = stage_store.marker_info(root, stage)
+        assert info["run_id"] == "base", stage
+        assert [u["run_id"] for u in info.get("upserts", [])] == ["incr"], stage
+
+    # byte-identity with a from-scratch run over the incremented corpus
+    exp = oracle.extract_corpus(
+        [r for r in generate_corpus(90) if r["url"] in inc_urls]
+    )
+    got = {r["url"]: r["extracted_text"] for r in out["doc_text"].collect()}
+    assert set(got) <= inc_urls
+    assert all(got.get(u, "") == v["text"] for u, v in exp.items())
+
+    # chunks stage merged consistently: every chunk is an exact span of
+    # its document text (the chunk invariant), for new AND old hosts
+    dt = out["doc_text"].select("url", "extracted_text")
+    bad = (
+        out["chunks"].join(dt, "url")
+        .filter(
+            F.expr(
+                "chunk_text != substring(extracted_text, span_start + 1, "
+                "span_end - span_start)"
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_incremental_legacy_stage_without_content_hash(spark, work_dir):
+    """A pages stage committed before content_hash existed upserts
+    cleanly (unionByName with allowMissingColumns) and falls back to
+    presence-only change detection."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = f"{work_dir}/legacy"
+    run_pipeline(spark, corpus_df(spark, 40), root, resume=False, run_id="base")
+
+    # rewrite the committed pages snapshot without the content_hash
+    # column, simulating a pre-content_hash stage dir
+    path = f"{root}/pages"
+    legacy = spark.read.parquet(path).drop("content_hash")
+    tmp = f"{path}.legacy"
+    legacy.write.mode("overwrite").parquet(tmp)
+    marker = stage_store.marker_info(root, "pages")
+    import json as _json
+    import shutil as _shutil
+
+    with open(os.path.join(tmp, stage_store.MARKER), "w", encoding="utf-8") as fh:
+        _json.dump(marker, fh)
+    _shutil.rmtree(path)
+    os.rename(tmp, path)
+    spark.catalog.refreshByPath(path)
+
+    out = run_incremental(spark, corpus_df(spark, 50), root, run_id="incr")
+    assert out["pages"].select("url").distinct().count() == 50
+    # new rows carry the hash, legacy rows carry null — and the merge
+    # must not have thrown
+    hashes = out["pages"].select(
+        F.sum(F.col("content_hash").isNotNull().cast("long")).alias("with_hash")
+    ).collect()[0]
+    assert hashes["with_hash"] > 0
+
+    exp = oracle.extract_corpus(generate_corpus(50))
+    got = {r["url"]: r["extracted_text"] for r in out["doc_text"].collect()}
+    assert all(got.get(u, "") == v["text"] for u, v in exp.items())
+
+
 def test_pyfiles_package_importable(tmp_path):
     import subprocess
     import sys

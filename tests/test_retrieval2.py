@@ -133,11 +133,13 @@ def test_assemble_context_rag_tail(spark):
 
 def test_ann_ivf_topk_recall_and_plan(spark):
     """IVF ANN: on the test embeddings the pruned search recovers most
-    of the brute-force top-k; the plan stays broadcast-only."""
+    of the brute-force top-k; the plan stays broadcast-only; the
+    trained quantizer is deterministic across runs."""
     from pdf_extraction_spark.operators.similarity import (
         ann_ivf_topk,
         cosine_topk,
         ivf_assign,
+        ivf_train,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -150,3 +152,39 @@ def test_ann_ivf_topk_recall_and_plan(spark):
     assert len(set(brute) & set(ivf)) >= 3  # decent recall at n_probe=4
     plan = ann_ivf_topk(emb, probe_id=3, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+    # Lloyd-refined training is deterministic: two independent trainings
+    # produce identical centroid rows (cid-sorted packing + 1e-9
+    # rounding of the per-dimension means)
+    c1 = ivf_train(emb, n_lists=8, iters=2).collect()[0]["_cents"]
+    c2 = ivf_train(emb, n_lists=8, iters=2).collect()[0]["_cents"]
+    assert c1 == c2
+
+
+def test_ann_ivf_recall_at_scale(spark):
+    """Recall@10 bound for the trained IVF quantizer at sf0.1: with
+    n_lists=16 / n_probe=4 (25% of the corpus scanned) mean recall over
+    5 probes must be >= 0.5, and every probe individually >= 0.3 —
+    the stated bound for the deterministic stand-in quantizer."""
+    from pdf_extraction_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    try:
+        probes = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+        recalls = []
+        for p in probes:
+            brute = {r.vec_id for r in cosine_topk(emb, probe_id=p, k=10).collect()}
+            ivf = {
+                r.vec_id
+                for r in ann_ivf_topk(
+                    emb, probe_id=p, k=10, n_lists=16, n_probe=4
+                ).collect()
+            }
+            recalls.append(len(brute & ivf) / 10.0)
+        assert min(recalls) >= 0.3, recalls
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+    finally:
+        emb.unpersist()
