@@ -347,10 +347,33 @@ def chunk_hybrid_search(
     chunk_text).  All Catalyst; BM25 stats and per-term doc frequencies
     broadcast.
     """
+    scored = _chunk_hybrid_scored(chunks, query, doc_col, page_col).drop(
+        "chunk_text"
+    )
+    deduped = dedup_rank1(
+        scored.withColumn(
+            "_tb",
+            F.concat_ws(
+                "|", F.lpad(F.col("chunk_id").cast("string"), 6, "0"), "source_type"
+            ),
+        ),
+        [doc_col, page_col], "combined_score", "_tb",
+    ).drop("_tb")
+    return deduped.orderBy(
+        F.desc("combined_score"), F.asc(doc_col), F.asc(page_col), F.asc("chunk_id")
+    ).limit(top_k)
+
+
+def _chunk_hybrid_scored(
+    chunks: DataFrame, query: str, doc_col: str, page_col: str
+) -> DataFrame:
+    """Shared hybrid scoring for the chunk-granularity paths: per-chunk
+    semantic score, page-aggregated BM25, min-max + 0.6/0.4 combine.
+    Keeps chunk_text so the rerank path can rescore without a join."""
     query_terms = [t for t in query.split(" ") if t]
     toks = with_tokens(chunks, "chunk_text")
     sem = toks.select(
-        doc_col, page_col, "chunk_id", "source_type",
+        doc_col, page_col, "chunk_id", "source_type", "chunk_text",
         F.round(
             F.size(F.array_intersect(F.array_distinct("tokens"),
                                      F.array(*[F.lit(t) for t in sorted(set(query_terms))])))
@@ -378,20 +401,81 @@ def chunk_hybrid_search(
         F.lit(SEMANTIC_WEIGHT) * F.col("sem_norm")
         + F.lit(KEYWORD_WEIGHT) * F.col("kw_norm")
     )
-    scored = cand.select(
-        doc_col, page_col, "chunk_id", "source_type",
+    return cand.select(
+        doc_col, page_col, "chunk_id", "source_type", "chunk_text",
         "semantic_score", "keyword_score",
         F.round(combined, 6).alias("combined_score"),
     )
-    deduped = dedup_rank1(
-        scored.withColumn(
-            "_tb",
-            F.concat_ws(
-                "|", F.lpad(F.col("chunk_id").cast("string"), 6, "0"), "source_type"
+
+
+def chunk_rerank_search(
+    chunks: DataFrame,
+    query: str,
+    pool: int = RERANK_CANDIDATES,
+    top_k: int = 10,
+    doc_col: str = "doc_id",
+    page_col: str = "page_no",
+) -> DataFrame:
+    """W3/W4 rerank on the CHUNK path, in the reference's order: hybrid
+    candidate pool FIRST (search_vector_db.py:181-193), rank-1 dedup
+    per (doc, page) AFTER the rerank rescoring (:263-271) — so a page
+    is represented by its best RERANKED chunk, not its best hybrid one.
+
+    1. hybrid-scored candidates (shared with chunk_hybrid_search);
+    2. deterministic global pool cut: top ``pool`` by combined score;
+    3. CrossEncoder stand-in rescoring: query-bigram recall over the
+       CHUNK text (row-local array expression — the pool is small, so
+       this stage is a TakeOrderedAndProject followed by per-row math);
+    4. W5 dedup per (doc, page) on rerank_score;
+    5. deterministic global top-k.
+    """
+    terms = [t for t in query.split(" ") if t]
+    q_bigrams = [f"{a} {b}" for a, b in zip(terms, terms[1:])]
+    scored = _chunk_hybrid_scored(chunks, query, doc_col, page_col)
+    tb = F.concat_ws(
+        "|", F.lpad(F.col("chunk_id").cast("string"), 6, "0"), "source_type"
+    )
+    pooled = (
+        scored.withColumn("_tb", tb)
+        .orderBy(
+            F.desc("combined_score"), F.asc(doc_col), F.asc(page_col), F.asc("_tb")
+        )
+        .limit(pool)
+    )
+    toks = F.filter(F.split("chunk_text", " "), lambda t: t != "")
+    bigrams = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, 2_000_000),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
+            lambda s: F.size(F.split(s, " ")) == 2,
+        )
+    )
+    qb = F.array(*[F.lit(b) for b in q_bigrams])
+    rescored = pooled.withColumn(
+        "rerank_score",
+        F.round(
+            F.size(F.array_intersect(bigrams, qb))
+            / F.lit(float(max(1, len(q_bigrams)))),
+            6,
         ),
-        [doc_col, page_col], "combined_score", "_tb",
-    ).drop("_tb")
-    return deduped.orderBy(
-        F.desc("combined_score"), F.asc(doc_col), F.asc(page_col), F.asc("chunk_id")
-    ).limit(top_k)
+    )
+    w = Window.partitionBy(doc_col, page_col).orderBy(
+        F.desc("rerank_score"), F.desc("combined_score"), F.asc("_tb")
+    )
+    deduped = rescored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        deduped.select(
+            doc_col, page_col, "chunk_id", "source_type",
+            "combined_score", "rerank_score",
+        )
+        .orderBy(
+            F.desc("rerank_score"), F.desc("combined_score"),
+            F.asc(doc_col), F.asc(page_col), F.asc("chunk_id"),
+        )
+        .limit(top_k)
+    )

@@ -108,6 +108,44 @@ def q_pipeline_table_diff(spark, sf_dir):
     )
 
 
+def q_pipeline_chunk_vectors_ann(spark, sf_dir):
+    """The committed vector-DB loop end-to-end (reference
+    build_vector_db.py -> search_vector_db.py): run the pipeline into
+    stage tables, run_vector_build commits typed_chunks +
+    chunk_vectors (hash embeddings + LSH bucket), then ANN reads the
+    COMMITTED chunk_vectors snapshot — the driver-gated proof that
+    retrieval runs over the pipeline's own committed vectors, not the
+    flat test table.  Rows-only check (the layout engine upstream is
+    not SQL-replayable)."""
+    import tempfile
+
+    from ..operators.similarity import ann_lsh_topk
+    from ..plans import stage_store
+    from ..plans.pipeline import run_pipeline, run_vector_build
+    from ..operators.embed import EMBED_DIM
+
+    prepare(spark)
+    n = _n_docs(sf_dir)
+    key = ("vectors", id(spark), n)
+    if key not in _CACHE:
+        work = "/root/repo/.work"
+        os.makedirs(work, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="pdfx_vec_", dir=work)
+        run_pipeline(spark, corpus_df(spark, n), root, resume=False)
+        run_vector_build(spark, root)
+        _CACHE[key] = root
+    root = _CACHE[key]
+    vectors = stage_store.read_stage(spark, root, "chunk_vectors").select(
+        F.xxhash64("url", "page_no", "chunk_id", "source_type").alias("vec_id"),
+        "url", "page_no", "chunk_id", "source_type", "embedding",
+    )
+    probe_id = vectors.agg(F.min("vec_id")).collect()[0][0]
+    topk = ann_lsh_topk(vectors, probe_id=probe_id, k=10, dim=EMBED_DIM)
+    return topk.join(vectors.drop("embedding"), "vec_id").select(
+        "url", "page_no", "chunk_id", "source_type", "cosine"
+    ).orderBy(F.desc("cosine"), "url", "page_no", "chunk_id", "source_type")
+
+
 QUERIES = {
     "pipeline_pages": q_pipeline_pages,
     "pipeline_doc_text": q_pipeline_doc_text,
@@ -115,6 +153,7 @@ QUERIES = {
     "pipeline_regions": q_pipeline_regions,
     "pipeline_cells": q_pipeline_cells,
     "pipeline_table_diff": q_pipeline_table_diff,
+    "pipeline_chunk_vectors_ann": q_pipeline_chunk_vectors_ann,
 }
 
 ORACLE_SQL: dict = {}  # layout engine is not SQL-replayable (rows-only)

@@ -460,10 +460,11 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "top_orders": q_top_orders,
     "rank1_per_customer": q_rank1_per_customer,
-    "running_sum": q_running_sum,
+    # running_sum / minmax_combined rotated to the retired pytest gate
+    # (queries/retired.py) to free driver slots for chunk_rerank_topk
+    # and pipeline_chunk_vectors_ann (round-3 verdict items 5-6)
     "gaps_islands": q_gaps_islands,
     "sessionize": q_sessionize,
-    "minmax_combined": q_minmax_combined,
     "union_distinct": q_union_distinct,
     "except_parts": q_except_parts,
     "intersect_keys": q_intersect_keys,
@@ -478,10 +479,8 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "top_orders": SQL_TOP_ORDERS,
     "rank1_per_customer": SQL_RANK1_PER_CUSTOMER,
-    "running_sum": SQL_RUNNING_SUM,
     "gaps_islands": SQL_GAPS_ISLANDS,
     "sessionize": SQL_SESSIONIZE,
-    "minmax_combined": SQL_MINMAX_COMBINED,
     "union_distinct": SQL_UNION_DISTINCT,
     "except_parts": SQL_EXCEPT_PARTS,
     "intersect_keys": SQL_INTERSECT_KEYS,

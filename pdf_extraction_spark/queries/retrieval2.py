@@ -142,6 +142,81 @@ LIMIT 10
 """
 
 
+def q_chunk_rerank_topk(spark, sf_dir):
+    """W3/W4 rerank on the CHUNK path in the reference's order
+    (search_vector_db.py:181-193 rerank pool BEFORE the :263-271 page
+    dedup): hybrid pool of 50, bigram-recall rescoring on the chunk
+    text, rank-1 per (doc, page) on the RERANKED score, top-10."""
+    chunks = synthetic_chunks(_t(spark, sf_dir, "documents"))
+    return retrieval.chunk_rerank_search(
+        chunks, " ".join(QUERY_TERMS), pool=50, top_k=10
+    )
+
+
+_QBIGRAMS = "['spark join', 'join table']"
+
+SQL_CHUNK_RERANK_TOPK = f"""
+WITH chunks AS ({_SQL_CHUNKS}),
+sem AS (
+  SELECT doc_id, page_no, chunk_id, source_type, chunk_text,
+         ROUND(CAST(len(list_intersect(list_distinct({_TOKS}), {_QLIST})) AS DOUBLE)
+               / len(list_distinct(list_concat(list_distinct({_TOKS}), {_QLIST}))), 6) AS semantic_score
+  FROM chunks),
+pages AS (
+  SELECT doc_id, page_no,
+         string_agg(chunk_text, ' ' ORDER BY chunk_id) AS page_text
+  FROM chunks WHERE source_type = 'page_text' GROUP BY doc_id, page_no),
+pl AS (SELECT doc_id, page_no,
+              list_filter(string_split(page_text, ' '), x -> x <> '') AS toks
+       FROM pages),
+dl AS (SELECT doc_id, page_no, len(toks) AS doc_len, toks FROM pl),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(doc_len) AS avgdl FROM dl),
+terms AS (SELECT doc_id, page_no, doc_len, unnest(toks) AS term FROM dl),
+qt AS (SELECT unnest({_QLIST}) AS term),
+dfc AS (SELECT term, COUNT(DISTINCT doc_id || '|' || page_no) AS df
+        FROM terms JOIN qt USING(term) GROUP BY term),
+tf AS (SELECT doc_id, page_no, doc_len, term, COUNT(*) AS tf
+       FROM terms JOIN qt USING(term) GROUP BY ALL),
+kw AS (SELECT doc_id, page_no,
+              ROUND(SUM(LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.5) / (tf + 1.5 * (1 - 0.75 + 0.75 * doc_len / avgdl))), 6) AS keyword_score
+       FROM tf JOIN dfc USING(term) CROSS JOIN corpus GROUP BY doc_id, page_no),
+cand AS (
+  SELECT sem.doc_id, sem.page_no, chunk_id, source_type, chunk_text, semantic_score,
+         COALESCE(keyword_score, 0.0) AS keyword_score
+  FROM sem LEFT JOIN kw ON sem.doc_id = kw.doc_id AND sem.page_no = kw.page_no
+  WHERE semantic_score > 0 OR COALESCE(keyword_score, 0.0) > 0),
+stats AS (SELECT MIN(semantic_score) mns, MAX(semantic_score) mxs,
+                 MIN(keyword_score) mnk, MAX(keyword_score) mxk FROM cand),
+scored AS (
+  SELECT doc_id, page_no, chunk_id, source_type, chunk_text,
+         lpad(CAST(chunk_id AS VARCHAR), 6, '0') || '|' || source_type AS tb,
+         ROUND(0.6 * (CASE WHEN (mxs - mns) < 1e-8 THEN 0.5 ELSE (semantic_score - mns) / (mxs - mns) END)
+             + 0.4 * (CASE WHEN (mxk - mnk) < 1e-8 THEN 0.5 ELSE (keyword_score - mnk) / (mxk - mnk) END), 6) AS combined_score
+  FROM cand CROSS JOIN stats),
+pool AS (
+  SELECT * FROM scored
+  ORDER BY combined_score DESC, doc_id ASC, page_no ASC, tb ASC
+  LIMIT 50),
+rescored AS (
+  SELECT doc_id, page_no, chunk_id, source_type, tb, combined_score,
+         ROUND(CAST(len(list_intersect(
+                 list_distinct(list_transform(generate_series(1, GREATEST(len({_TOKS}) - 1, 0)),
+                                              i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])),
+                 {_QBIGRAMS})) AS DOUBLE) / 2.0, 6) AS rerank_score
+  FROM pool),
+deduped AS (
+  SELECT * FROM rescored
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id, page_no
+    ORDER BY rerank_score DESC, combined_score DESC, tb ASC) = 1)
+SELECT doc_id, page_no, chunk_id, source_type, combined_score, rerank_score
+FROM deduped
+ORDER BY rerank_score DESC, combined_score DESC, doc_id ASC, page_no ASC, chunk_id ASC
+LIMIT 10
+"""
+
+
 # --- F14: query filter inference ---------------------------------------------
 
 _QUERIES = [
@@ -265,12 +340,14 @@ FROM pairs ORDER BY cosine DESC, doc_id ASC LIMIT 10
 
 QUERIES = {
     "chunk_hybrid_topk": q_chunk_hybrid_topk,
+    "chunk_rerank_topk": q_chunk_rerank_topk,
     "query_filter_inference": q_query_filter_inference,
     "hash_embed_ann": q_hash_embed_ann,
 }
 
 ORACLE_SQL = {
     "chunk_hybrid_topk": SQL_CHUNK_HYBRID_TOPK,
+    "chunk_rerank_topk": SQL_CHUNK_RERANK_TOPK,
     "query_filter_inference": SQL_QUERY_FILTER_INFERENCE,
     "hash_embed_ann": SQL_HASH_EMBED_ANN,
 }
