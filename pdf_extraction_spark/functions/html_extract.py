@@ -17,6 +17,8 @@ emits, so downstream stages are payload-agnostic.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from ..constants import (
@@ -185,6 +187,111 @@ class _Extractor(HTMLParser):
             self.buf_linked.append(data)
 
 
+# --- regex fast path ----------------------------------------------------------
+#
+# stdlib HTMLParser was ~29% of the whole layout profile (round-2
+# NOTES): its goahead loop re-scans with several small regexes and
+# allocates per attribute even for tags whose attributes nobody reads.
+# The fast tokenizer below drives the SAME _Extractor event handlers
+# from one compiled token regex, parsing attributes only for the three
+# tags that use them (img/td/th) and skipping script/style content
+# outright (they are drop-subtrees, so HTMLParser's handle_data calls
+# inside them were no-ops anyway).  Any construct the tokenizer does
+# not fully understand (a bare '<' in text, an unterminated rawtext
+# element) aborts and the document re-parses on the stdlib path — the
+# fast path is an optimization gate, never a semantics change.
+
+_TOKEN_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"                      # comment (EOF-tolerant)
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA section
+    r"|![^>]*>"                              # doctype / declaration
+    r"|\?[^>]*>"                             # processing instruction
+    r"|(?P<end>/)\s*(?P<ename>[a-zA-Z][^\s>]*)\s*>"
+    r"|(?P<name>[a-zA-Z][^\s/>]*)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)"
+    r"(?P<slash>/?)>"
+    r")",
+    re.S,
+)
+
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s\"'>]*)))?"
+)
+
+_ATTR_TAGS = frozenset({"img", "td", "th"})
+_RAWTEXT_TAGS = frozenset({"script", "style"})  # HTMLParser CDATA mode
+
+
+def _parse_attrs(s: str) -> list:
+    out = []
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        val = m.group(3)
+        if val is None:
+            val = m.group(4)
+        if val is None:
+            val = m.group(5)
+        if val is not None and "&" in val:
+            val = unescape(val)
+        out.append((name, val))
+    return out
+
+
+def _fast_feed(parser: _Extractor, s: str) -> bool:
+    """Tokenize ``s`` into the extractor's handlers; False = anomaly
+    (caller falls back to the stdlib parser on a FRESH extractor)."""
+    pos, n = 0, len(s)
+    find = s.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = s[pos:]
+            parser.handle_data(unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = s[pos:lt]
+            parser.handle_data(unescape(data) if "&" in data else data)
+        m = _TOKEN_RE.match(s, lt)
+        if m is None:
+            return False  # bare '<' / malformed tag: stdlib semantics differ
+        pos = m.end()
+        name = m.group("name")
+        if name is not None:
+            tag = name.lower()
+            attrs_s = m.group("attrs")
+            attrs = (
+                _parse_attrs(attrs_s)
+                if attrs_s and tag in _ATTR_TAGS
+                else []
+            )
+            if m.group("slash"):
+                parser.handle_startendtag(tag, attrs)
+            elif tag in _RAWTEXT_TAGS:
+                parser.handle_starttag(tag, attrs)
+                close = s.find("</" + tag, pos)
+                if close < 0:
+                    close = s.find("</" + tag.upper(), pos)
+                if close < 0:
+                    return False  # unterminated rawtext element
+                gt = find(">", close)
+                if gt < 0:
+                    return False
+                # content skipped: script/style are drop-subtrees, so the
+                # stdlib path's handle_data calls here were no-ops
+                parser.handle_endtag(tag)
+                pos = gt + 1
+            else:
+                parser.handle_starttag(tag, attrs)
+        else:
+            ename = m.group("ename")
+            if ename is not None:
+                parser.handle_endtag(ename.lower())
+            # comments / doctype / PI / CDATA: skipped
+    return True
+
+
 def extract_html(payload: bytes) -> dict:
     """payload bytes -> single-page extraction dict (spec shape shared
     with the SPDF layout engine)."""
@@ -193,11 +300,18 @@ def extract_html(payload: bytes) -> dict:
     except Exception:
         text = ""
     parser = _Extractor()
+    ok = False
     try:
-        parser.feed(text)
-        parser.close()
+        ok = _fast_feed(parser, text)
     except Exception:
-        pass
+        ok = False
+    if not ok:
+        parser = _Extractor()
+        try:
+            parser.feed(text)
+            parser.close()
+        except Exception:
+            pass
     parser._flush()
     md_lines: list[str] = []
     blocks: list[dict] = []
