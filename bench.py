@@ -37,12 +37,19 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_corpus(spark, n_docs: int) -> str:
-    path = f"/root/repo/.work/bench_corpus_{n_docs}"
+def ensure_corpus(spark, n_docs: int, version: int = 2) -> str:
+    """version 2 = the live generator (coverage corpus, evolves);
+    version 1 = the FROZEN round-1 generator (sources/corpus_v1.py) —
+    the cross-round trend-line workload."""
+    suffix = "" if version == 2 else "_v1"
+    path = f"/root/repo/.work/bench_corpus{suffix}_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from pdf_extraction_spark.sources.corpus import write_corpus
+        if version == 2:
+            from pdf_extraction_spark.sources.corpus import write_corpus
+        else:
+            from pdf_extraction_spark.sources.corpus_v1 import write_corpus
 
-        log(f"generating bench corpus ({n_docs} docs) -> {path}")
+        log(f"generating bench corpus v{version} ({n_docs} docs) -> {path}")
         write_corpus(spark, path, n_docs)
     return path
 
@@ -131,20 +138,65 @@ def main() -> int:
     run_extract(spark, warm, args.stage)
 
     results: dict[str, float] = {}
-    log(f"extract pipeline ({n_docs} docs, {args.runs} run(s))...")
+    # committed-pipeline numbers use >=3 runs (round-2 verdict: n=2 was
+    # too thin under +-30% host noise); per-query timings keep args.runs
+    pipe_runs = args.runs if args.extract_only else max(3, args.runs)
+    log(f"extract pipeline ({n_docs} docs, {pipe_runs} run(s))...")
     times = []
-    for _ in range(args.runs):
+    for _ in range(pipe_runs):
         dt, n, n_pages = run_extract(spark, corpus, args.stage)
         times.append(dt)
     results["extract_pipeline"] = round(statistics.median(times), 3)
     docs_per_sec = round(n_docs / results["extract_pipeline"], 2)
     docs_per_sec_peak = round(n_docs / min(times), 2)
     log(f"  {results['extract_pipeline']}s  ({docs_per_sec} docs/sec, peak {docs_per_sec_peak})")
+    corpus_v2_block = {
+        "generator": "v2 (live, coverage)",
+        "extract_docs": n_docs,
+        "runs": pipe_runs,
+        "extract_pipeline_sec": results["extract_pipeline"],
+        "extract_pipeline_all": [round(t, 3) for t in times],
+        "docs_per_sec": docs_per_sec,
+        "pages_per_sec": round(n_pages / results["extract_pipeline"], 2) if n_pages else None,
+    }
+    corpus_v1_block = None
     if args.stage == "full" and not args.extract_only:
-        dt2, _, _ = run_extract(spark, corpus, "extract")
+        stage_times = []
+        for _ in range(pipe_runs):
+            dt2, _, _ = run_extract(spark, corpus, "extract")
+            stage_times.append(dt2)
+        dt2 = statistics.median(stage_times)
         results["extract_stage"] = round(dt2, 3)
         extract_stage_dps = round(n_docs / dt2, 2)
+        corpus_v2_block["extract_stage_sec"] = results["extract_stage"]
+        corpus_v2_block["extract_stage_docs_per_sec"] = extract_stage_dps
         log(f"  extract_stage: {dt2:.3f}s ({extract_stage_dps} docs/sec)")
+
+        # FROZEN corpus-v1 trend line: same doc count, round-1 generator
+        c1 = ensure_corpus(spark, n_docs, version=1)
+        log(f"corpus_v1 pipeline ({n_docs} docs, {pipe_runs} run(s))...")
+        v1_pipe, v1_stage = [], []
+        for _ in range(pipe_runs):
+            dtp, _, v1_pages = run_extract(spark, c1, "full")
+            v1_pipe.append(dtp)
+        for _ in range(pipe_runs):
+            dts, _, _ = run_extract(spark, c1, "extract")
+            v1_stage.append(dts)
+        v1_med = round(statistics.median(v1_pipe), 3)
+        v1_smed = round(statistics.median(v1_stage), 3)
+        corpus_v1_block = {
+            "generator": "v1 (frozen round-1 snapshot, sources/corpus_v1.py)",
+            "extract_docs": n_docs,
+            "runs": pipe_runs,
+            "extract_pipeline_sec": v1_med,
+            "extract_pipeline_all": [round(t, 3) for t in v1_pipe],
+            "docs_per_sec": round(n_docs / v1_med, 2),
+            "pages_per_sec": round(v1_pages / v1_med, 2) if v1_pages else None,
+            "extract_stage_sec": v1_smed,
+            "extract_stage_docs_per_sec": round(n_docs / v1_smed, 2),
+        }
+        log(f"  corpus_v1: pipeline {v1_med}s, stage {v1_smed}s "
+            f"({corpus_v1_block['extract_stage_docs_per_sec']} docs/sec)")
     else:
         extract_stage_dps = None
 
@@ -173,6 +225,8 @@ def main() -> int:
         "extract_stage_docs_per_sec": extract_stage_dps,
         "extract_docs": n_docs,
         "cpus": args.cpus,
+        "corpus_v1": corpus_v1_block,
+        "corpus_v2": corpus_v2_block,
     }
     print(json.dumps(out))
     return 0
@@ -188,8 +242,13 @@ def run_scaling(args) -> int:
     cpus (JVM + Python workers share the executor's cores, as on a real
     cluster node) — N=4 vs 4N=16 one-core executors on the same input.
     The corpus must be large enough that per-doc compute dominates
-    fixed stage overhead."""
-    n_docs = args.extract_docs or 48000
+    fixed stage overhead: after the round-3 HTML fast path + mapInArrow
+    speedups the 48k corpus finishes in ~11s at 16 cores and the ~3s
+    fixed job overhead (scan planning, Python worker spin-up, noop
+    commit) eats the ratio, so the protocol corpus is 96k docs (~16s at
+    16 cores, overhead <6%) — a bigger slice of the same deterministic
+    stream, not a different workload."""
+    n_docs = args.extract_docs or 96000
     runs = max(args.runs, 5)  # heavy run-to-run variance on this host
     if not os.path.exists(f"/root/repo/.work/bench_corpus_{n_docs}/_SUCCESS"):
         from pdf_extraction_spark.session import build_session
@@ -204,7 +263,10 @@ def run_scaling(args) -> int:
         cmd = (pin[cpus] if have_taskset else []) + [
             sys.executable, __file__, "--extract-only",
             "--cpus", str(cpus), "--extract-docs", str(n_docs),
-            "--runs", "2", "--sf-dir", args.sf_dir,
+            # 3 warm in-JVM runs: interference on this host is strictly
+            # one-sided (neighbors only ever slow a run down), so peak
+            # of 3 estimates the uncontended level far better than 2
+            "--runs", "3", "--sf-dir", args.sf_dir,
             "--stage", args.stage,
         ]
         res = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -217,18 +279,27 @@ def run_scaling(args) -> int:
     # INTERLEAVED A/B pairs: host interference drifts on minute scales,
     # so sequential blocks (all N then all 4N) bias the ratio; pairing
     # adjacent runs cancels the drift and the per-pair efficiency median
-    # is the reported statistic
+    # is the reported statistic.  Pair order alternates ABBA (4,16 /
+    # 16,4 / ...) so monotone drift within the session cannot
+    # systematically penalize one level.
     pairs = []
     thr4, thr16 = [], []
+    loads = []
     for i in range(runs):
         log(f"== scaling pair {i + 1}/{runs} (pinned: {have_taskset}) ==")
-        a = one(4)
-        b = one(16)
+        with open("/proc/loadavg") as fh:
+            loads.append(float(fh.read().split()[0]))
+        if i % 2 == 0:
+            a = one(4)
+            b = one(16)
+        else:
+            b = one(16)
+            a = one(4)
         thr4.append(a["docs_per_sec"])
         thr16.append(b["docs_per_sec"])
         pairs.append(round((b["docs_per_sec"] / a["docs_per_sec"]) / 4.0, 3))
         log(f"   local[4] {a['docs_per_sec']} | local[16] {b['docs_per_sec']} "
-            f"| pair eff {pairs[-1]}")
+            f"| pair eff {pairs[-1]} | loadavg {loads[-1]}")
     eff = round(statistics.median(pairs), 3)
     thr_n = round(statistics.median(thr4), 2)
     thr_4n = round(statistics.median(thr16), 2)
@@ -247,7 +318,9 @@ def run_scaling(args) -> int:
         "extract_docs": n_docs,
         "runs": runs,
         "pinned": have_taskset,
-        "protocol": "interleaved A/B pairs, median per-pair efficiency",
+        "loadavg_before_pairs": loads,
+        "protocol": "interleaved ABBA pairs, peak-of-3 warm runs per level, "
+                    "median per-pair efficiency",
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling.json", "w", encoding="utf-8") as fh:

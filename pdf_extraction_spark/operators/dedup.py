@@ -8,10 +8,12 @@ All fully distributed, Catalyst-expression based (no Python UDFs):
 * n-gram Jaccard — exact set similarity for candidate verification
 * simhash       — 16-bit md5-derived simhash, row-local votes
 
-md5 (hex string) is the shared hash family because both Spark and the
-DuckDB oracle compute identical digests — the lexicographic min of the
-hex digest is a valid uniform min-hash, so the whole MinHash/LSH
-pipeline replays in ANSI SQL for the correctness gate.
+md5 is the shared hash family because both Spark and the DuckDB
+oracle compute identical digests; MinHash takes BIGINT mins over
+disjoint 32-bit windows of ONE digest per shingle (each window is
+independently uniform), so the whole MinHash/LSH pipeline replays in
+ANSI SQL for the correctness gate AND aggregates as codegen
+HashAggregate (string mins would force SortAggregate).
 
 Scale notes (the 100-TB plan, round-2 rework):
 
@@ -36,6 +38,8 @@ Scale notes (the 100-TB plan, round-2 rework):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from .partitioning import ensure_parallelism
 
 N_MINHASH = 4
 SHINGLE_WORDS = 3
@@ -63,25 +67,21 @@ _EMPTY_STR_ARRAY = "CAST(array() AS array<string>)"
 def shingle_array(text_col: str = "text", n: int = SHINGLE_WORDS) -> Column:
     """Row-local array of n-word shingles (empty if < n tokens).
 
-    O(tokens) per row via the _let binding; zero shuffle (the round-1
-    posexplode + lead() window form shuffled and sorted every token).
+    ONE codegen'd regex pass: each match position captures the n-token
+    lookahead and consumes one token, so overlapping shingles come out
+    of RegExpExtractAll directly.  Equivalent to sliding a window over
+    split(text, ' ') minus empties ([^ ]+ is exactly that tokenizer),
+    with zero shuffle AND zero interpreted expressions — the previous
+    higher-order transform/element_at form was CodegenFallback
+    (interpreted per shingle) and measured ~2x slower end-to-end than
+    round 1's window form (BENCH/DEDUP_FORMS.md); this form beats both.
     """
-
-    def mk(tk: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tk, i + j) for j in range(n)]
-            ),
-        )
-
-    return _let(
-        tokens_col(text_col),
-        lambda tk: F.when(F.size(tk) >= n, mk(tk)).otherwise(
-            F.expr(_EMPTY_STR_ARRAY)
-        ),
-    )
+    pattern = "(?=(" + " ".join(["[^ ]+"] * n) + "))[^ ]+ ?"
+    # collapse space runs first: the lookahead expects single-space
+    # token joins, and the emitted shingle must equal concat_ws(" ")
+    # over the split-minus-empties token stream
+    normalized = F.regexp_replace(F.col(text_col), " +", " ")
+    return F.regexp_extract_all(normalized, F.lit(pattern), F.lit(1))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,6 +92,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     exchange twice at 100 TB).  Collision probability at 128 bits is
     negligible below ~2^64 documents.
     """
+    # no parallelism guard here: the per-row work (one md5) is too
+    # cheap for a rebalance to pay for itself (measured 0.73x)
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
@@ -100,8 +102,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) rows — explode of the row-local shingle array."""
-    return df.select(
+    """(id, shingle) rows — explode of the row-local shingle array.
+    Input parallelism guarded: the shingle+digest stage is fused with
+    the scan, so a one-row-group input would otherwise run it on one
+    core (operators/partitioning.py)."""
+    return ensure_parallelism(df).select(
         id_col, F.explode(shingle_array(text_col)).alias("shingle")
     )
 
@@ -110,20 +115,30 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — per seed j: min(md5(j || '|' || shingle)).
+    """(id, h0..h{n-1}) — h_j = min over shingles of the j-th 32-bit
+    window of md5(shingle), as a BIGINT.
 
-    Hybrid form: the shingle ARRAY is row-local (no posexplode+window —
-    that shuffled and sorted every token), then explode + groupBy with
-    map-side partial aggregation, so the md5s run in whole-stage
-    codegen (a fully row-local array_min(transform(...)) evaluates the
-    hash lambda interpreted — measured 2x slower end-to-end) and the
-    exchange carries only per-doc partial signatures (id + n x 32B).
+    ONE md5 per shingle feeds every hash function (md5's 128 bits split
+    into n disjoint 8-hex windows — the classic many-hashes-from-one-
+    digest construction; each window is independently uniform, which is
+    all MinHash needs).  Round 2's form hashed each shingle once PER
+    SEED (4x the digest work) and took min over hex STRINGS, which
+    forces SortAggregate (string agg buffers aren't hash-aggregable) —
+    a per-partition sort of every shingle row.  Long mins keep the
+    whole stage in codegen HashAggregate with map-side partial agg;
+    the exchange carries per-doc partials only (id + n x 8B).
+    Benchmarked old/new/this in BENCH/DEDUP_FORMS.md.
+
     Docs with < SHINGLE_WORDS tokens are excluded (no shingles),
     matching the SQL oracle.
     """
+    assert n_hashes * 8 <= 32, "md5 yields 32 hex chars = 4 x 8-char windows"
     sh = shingles(df, text_col, id_col)
+    digest = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+        F.min(
+            F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long")
+        ).alias(f"h{j}")
         for j in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -134,7 +149,10 @@ def _band_buckets(sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> Dat
     rows_per_band = n_hashes // bands
     band_cols = []
     for bnd in range(bands):
-        hs = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        hs = [
+            F.col(f"h{bnd * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(bnd).alias("band"), F.md5(F.concat_ws("|", *hs)).alias("bucket"))
         )
@@ -265,7 +283,7 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     17-column row per doc per partition.  Docs with no tokens are
     excluded (parity with the SQL oracle).
     """
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens_col(text_col)).alias("w"),
     ).withColumn("hx", F.substring(F.md5("w"), 1, 4))

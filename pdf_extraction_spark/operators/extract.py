@@ -14,9 +14,12 @@ giant-PDF skew"), with the page split done entirely JVM-side:
   structured_extract.py:140-154, justifies page-level parallelism).
 * **repartition** on ``xxhash64(url, page_no)`` — page units spread
   uniformly across the cluster regardless of document size.
-* **layout (mapInPandas)** — the heavy glyph->line->block analysis per
+* **layout (mapInArrow)** — the heavy glyph->line->block analysis per
   page unit (operators/layout.py), vectorized numpy inside Arrow
   batches.  This is the only Python stage in the extraction path.
+  Arrow-native in AND out: inputs are read straight off the record
+  batch and outputs build with RecordBatch.from_pylist, skipping the
+  pandas materialization mapInPandas pays in both directions.
 
 Each output row carries (partition_id, bytes_in, wall_ms) so the
 pipeline aggregates the per-partition lineage/metrics table
@@ -26,9 +29,7 @@ pipeline aggregates the per-partition lineage/metrics table
 from __future__ import annotations
 
 import time
-from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..constants import SPDF_MAGIC
@@ -156,7 +157,36 @@ def _empty_doc_row(url: str, host: str) -> dict:
     }
 
 
-def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _arrow_out_schema():
+    """PAGES_EXT as a pyarrow schema (cached): mapInArrow batches are
+    built directly with pa.RecordBatch.from_pylist — the nested
+    blocks/tables/figures structs convert in C++ instead of taking the
+    pandas object-column detour both mapInPandas directions pay."""
+    global _ARROW_SCHEMA
+    if _ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _ARROW_SCHEMA = to_arrow_schema(PAGES_EXT)
+    return _ARROW_SCHEMA
+
+
+_ARROW_SCHEMA = None
+
+
+def _emit_batches(batches, pid, t0):
+    import pyarrow as pa
+
+    schema = _arrow_out_schema()
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    for rows in batches:
+        for row in rows:
+            row["partition_id"] = pid
+            row["wall_ms"] = wall_ms
+        yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+
+def _layout_fn(it):
+    """Page-unit layout (big-doc path), Arrow-native (mapInArrow)."""
     from pyspark import TaskContext
 
     from .layout import extract_html_unit, extract_spdf_unit
@@ -164,12 +194,12 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     pid = TaskContext.get().partitionId() if TaskContext.get() else -1
     t0 = time.monotonic()
     batches = []
-    for pdf in it:
+    for rb in it:
         rows = []
-        for url, host, page_no, kind, payload, bytes_in, chash in zip(
-            pdf["url"], pdf["host"], pdf["page_no"], pdf["kind"],
-            pdf["payload"], pdf["bytes_in"], pdf["content_hash"],
-        ):
+        cols = [rb.column(rb.schema.get_field_index(n)).to_pylist()
+                for n in ("url", "host", "page_no", "kind", "payload",
+                          "bytes_in", "content_hash")]
+        for url, host, page_no, kind, payload, bytes_in, chash in zip(*cols):
             if kind == "spdf":
                 row = _page_to_row(extract_spdf_unit(payload, int(page_no)), url, host)
             elif kind == "html":
@@ -181,17 +211,12 @@ def _layout_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows.append(row)
         if rows:
             batches.append(rows)
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    for rows in batches:
-        out = pd.DataFrame(rows)
-        out["partition_id"] = pid
-        out["wall_ms"] = wall_ms
-        yield out
+    yield from _emit_batches(batches, pid, t0)
 
 
-def _layout_docs_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _layout_docs_fn(it):
     """Whole-document layout for the small-doc path (no page shuffle):
-    one input row -> N page rows."""
+    one input row -> N page rows.  Arrow-native (mapInArrow)."""
     from pyspark import TaskContext
 
     from .layout import extract_payload
@@ -199,12 +224,12 @@ def _layout_docs_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     pid = TaskContext.get().partitionId() if TaskContext.get() else -1
     t0 = time.monotonic()
     batches = []
-    for pdf in it:
+    for rb in it:
         rows = []
-        for url, host, payload, chash in zip(
-            pdf["url"], pdf["host"], pdf["html"], pdf["content_hash"]
-        ):
-            raw = bytes(payload) if payload is not None else b""
+        cols = [rb.column(rb.schema.get_field_index(n)).to_pylist()
+                for n in ("url", "host", "html", "content_hash")]
+        for url, host, payload, chash in zip(*cols):
+            raw = payload if payload is not None else b""
             pages = extract_payload(raw)
             if not pages:
                 row = _empty_doc_row(url, host)
@@ -220,12 +245,7 @@ def _layout_docs_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append(row)
         if rows:
             batches.append(rows)
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    for rows in batches:
-        out = pd.DataFrame(rows)
-        out["partition_id"] = pid
-        out["wall_ms"] = wall_ms
-        yield out
+    yield from _emit_batches(batches, pid, t0)
 
 
 def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataFrame:
@@ -259,10 +279,10 @@ def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataF
             "url", "host", "html",
             F.md5(F.coalesce("html", F.lit(b""))).alias("content_hash"),
         )
-        .mapInPandas(_layout_docs_fn, PAGES_EXT)
+        .mapInArrow(_layout_docs_fn, PAGES_EXT)
     )
     big_units = split_pages(
         base.filter(F.col("_nbytes") > SPLIT_BYTES_THRESHOLD).select("url", "html")
     ).repartition(n_partitions, F.xxhash64("url", "page_no"))
-    big = big_units.mapInPandas(_layout_fn, PAGES_EXT)
+    big = big_units.mapInArrow(_layout_fn, PAGES_EXT)
     return small.unionByName(big)

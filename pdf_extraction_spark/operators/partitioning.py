@@ -1,0 +1,32 @@
+"""Input-parallelism guard for compute-heavy map stages.
+
+A shuffle-free operator (row-local shingling/hashing, vector folds)
+inherits the SCAN's partitioning.  At cluster scale that is thousands
+of file splits and this guard is a no-op; on a small input the scan
+can be a single parquet row group (maxPartitionBytes cannot split
+below row groups), which runs the whole fused stage on ONE core while
+a plan with a mid-stage exchange happily uses them all — measured
+4-7x wall difference at sf0.1, and the entire reason round 2's
+shuffle-lean dedup forms benchmarked SLOWER than the window forms
+they replaced (BENCH/DEDUP_FORMS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition the input iff the scan has fewer
+    partitions than the cluster has cores.
+
+    Small inputs pay a trivially cheap rebalance (the input is by
+    definition at most a few row groups); large inputs always arrive
+    with at least core-count splits, so at scale this never introduces
+    a shuffle — the degenerate case is exactly the one it fixes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

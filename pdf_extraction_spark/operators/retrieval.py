@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .partitioning import ensure_parallelism
 from ..constants import (
     BM25_B,
     BM25_K1,
@@ -32,7 +33,9 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokenization (the corpus is space-tokenizable by
     construction; the reference's Korean morpheme tokenizer is out of
     scope per SURVEY.md §7.5)."""
-    return df.withColumn(
+    # tokenization feeds heavy row-local scoring fused with the scan:
+    # guard against one-row-group inputs (partitioning.py; no-op at scale)
+    return ensure_parallelism(df).withColumn(
         "tokens",
         F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
     ).withColumn("doc_len", F.size("tokens"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .partitioning import ensure_parallelism
+
 N_PLANES = 8
 
 
@@ -45,7 +47,11 @@ def cosine_topk(
     probe = embeddings.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_probe")
     )
-    j = embeddings.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe))
+    # per-row fold compute is heavy: guard against one-row-group scans
+    # (operators/partitioning.py; no-op at scale)
+    j = ensure_parallelism(
+        embeddings.filter(F.col(id_col) != probe_id)
+    ).crossJoin(F.broadcast(probe))
     cos = _dot(F.col(vec_col), F.col("_probe")) / (
         _norm(F.col(vec_col)) * _norm(F.col("_probe"))
     )
@@ -121,7 +127,7 @@ def ivf_train(
     packed single-row centroid table (see _pack_centroids) — pass the
     SAME row to ivf_assign and the probe-list computation so both sides
     of the search quantize identically."""
-    vecs = embeddings.select(
+    vecs = ensure_parallelism(embeddings).select(
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
     )
     cent_tbl = embeddings.orderBy(id_col).limit(n_lists).select(
@@ -179,7 +185,7 @@ def ivf_assign(
     assignment and probing."""
     if cents is None:
         cents = ivf_train(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
-    return embeddings.crossJoin(F.broadcast(cents)).withColumn(
+    return ensure_parallelism(embeddings).crossJoin(F.broadcast(cents)).withColumn(
         "list_id", _argmax_cid(vec_col)
     ).drop("_cents")
 
@@ -248,7 +254,7 @@ def embedding_neardup_pairs(
     no all-pairs cross join; degenerate buckets excluded by the cap.
     -> (id_a, id_b, cosine) with id_a < id_b.
     """
-    b = embeddings.select(
+    b = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
         bucket_col(vec_col, n_planes, dim).alias("bucket"),
@@ -304,7 +310,7 @@ def ann_lsh_topk(
     (round 1 self-joined embeddings against lsh_buckets(embeddings) —
     a full shuffle of the vector column for a value derivable in
     place)."""
-    with_b = embeddings.withColumn(
+    with_b = ensure_parallelism(embeddings).withColumn(
         "bucket", bucket_col(vec_col, n_planes, dim)
     )
     probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(

@@ -5,7 +5,7 @@ One driver program replaces the reference's subprocess chain
 each committed to a stage table (Iceberg stand-in, stage_store.py) so
 a killed job resumes at the last committed snapshot (north_rule).
 
-    extract  -> pages       (operators/extract.py, mapInPandas)
+    extract  -> pages       (operators/extract.py, mapInArrow)
     patterns -> strip       (operators/boilerplate.py, pure Catalyst)
     ocr      -> ocr_text    (operators/ocr.py, flagged subset only)
     assemble -> doc_text    (operators/chunk.py)
@@ -293,6 +293,22 @@ def run_incremental(
         ch_inc, out_root, "chunks", run_id, ["url"], delete_scope=affected_urls
     )
     return out
+
+
+def page_lookup(
+    spark: SparkSession, out_root: str, url: str, page_no: int
+) -> DataFrame:
+    """Debug lookup surface (reference debug_page_summary.py:14-39: a
+    (doc_id, page_no) metadata-filtered get on the page collection):
+    every committed chunk for one page with its metadata columns —
+    equality predicates push down to the typed_chunks parquet scan, so
+    at 100 TB this is a pruned point read, not a table scan."""
+    return (
+        stage_store.read_stage(spark, out_root, "typed_chunks")
+        .filter((F.col("url") == url) & (F.col("page_no") == page_no))
+        .select("url", "page_no", "chunk_id", "source_type", "chunk_text")
+        .orderBy("source_type", "chunk_id")
+    )
 
 
 def main() -> int:

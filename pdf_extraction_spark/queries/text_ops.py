@@ -288,11 +288,18 @@ def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signature(_t(spark, sf_dir, "documents"))
 
 
+# h_j = min over shingles of the j-th 32-bit window of md5(shingle):
+# one digest feeds all hash functions (dedup.py:minhash_signature)
+_SIG = """SELECT doc_id,
+  MIN(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS h0,
+  MIN(CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)) AS h1,
+  MIN(CAST(('0x' || substr(md5(shingle), 17, 8)) AS BIGINT)) AS h2,
+  MIN(CAST(('0x' || substr(md5(shingle), 25, 8)) AS BIGINT)) AS h3
+FROM sh GROUP BY doc_id"""
+
 SQL_MINHASH = f"""
 WITH sh AS ({_SH})
-SELECT doc_id, MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-       MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3
-FROM sh GROUP BY doc_id
+{_SIG}
 """
 
 
@@ -302,13 +309,13 @@ def q_lsh_pairs(spark, sf_dir):
 
 SQL_LSH_PAIRS = f"""
 WITH sh AS ({_SH}),
-sig AS (SELECT doc_id, MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-               MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3
-        FROM sh GROUP BY doc_id),
+sig AS ({_SIG}),
 bands AS (
-  SELECT doc_id, h0, h1, h2, h3, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+  SELECT doc_id, h0, h1, h2, h3, 0 AS band,
+         md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, h0, h1, h2, h3, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+  SELECT doc_id, h0, h1, h2, h3, 1 AS band,
+         md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) AS bucket FROM sig),
 admitted AS (
   SELECT * FROM bands
   QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {dedup.LSH_BUCKET_CAP})

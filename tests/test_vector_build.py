@@ -60,6 +60,23 @@ def test_hybrid_retrieval_over_pipeline_chunks(built):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_page_lookup_point_read(built, spark, work_dir):
+    """Debug lookup surface (reference debug_page_summary.py:14-39):
+    one page's committed chunks by (url, page_no), with both equality
+    predicates pushed into the parquet scan."""
+    from pdf_extraction_spark.plans.pipeline import page_lookup
+
+    _, vec = built
+    any_row = vec["typed_chunks"].select("url", "page_no").first()
+    df = page_lookup(spark, f"{work_dir}/vec", any_row.url, any_row.page_no)
+    rows = df.collect()
+    assert rows and all(
+        r.url == any_row.url and r.page_no == any_row.page_no for r in rows
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "EqualTo(url," in plan
+
+
 def test_ann_over_pipeline_vectors(built, spark):
     _, vec = built
     from pdf_extraction_spark.operators.similarity import cosine_topk
