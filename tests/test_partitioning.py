@@ -1,0 +1,43 @@
+"""ensure_parallelism: rebalances only under-parallelized inputs, and
+the frozen corpus-v1 generator stays frozen."""
+
+import hashlib
+
+from pdf_extraction_spark.operators.partitioning import ensure_parallelism
+
+
+def test_low_partition_input_rebalances(spark):
+    df = spark.range(1000).coalesce(1)
+    out = ensure_parallelism(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+
+
+def test_well_partitioned_input_untouched(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(target + 2)
+    out = ensure_parallelism(df)
+    # no extra exchange on top of the existing partitioning
+    assert out is df
+
+
+def test_corpus_v1_is_frozen():
+    """The cross-round benchmark workload must never drift: pin a
+    digest over the first 20 documents of the frozen generator.  If
+    this test fails, someone edited sources/corpus_v1.py — revert it;
+    evolve sources/corpus.py (v2) instead."""
+    from pdf_extraction_spark.sources import corpus_v1
+
+    h = hashlib.md5()
+    for row in [corpus_v1.generate_row(i) for i in range(20)]:
+        h.update(row["url"].encode())
+        h.update(row["html"] or b"")
+        h.update(row["text"].encode())
+    digest = h.hexdigest()
+    # pinned at round 3 from the vendored round-1 generator (713b9b3)
+    assert digest == PINNED_V1_DIGEST, (
+        f"corpus_v1 drifted: {digest} != {PINNED_V1_DIGEST}"
+    )
+
+
+PINNED_V1_DIGEST = "fd5c8664ab9f853d52764f2269246b67"
