@@ -241,6 +241,39 @@ def lsh_oversize_buckets(
     )
 
 
+def verify_candidates(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-set Jaccard for a candidate-pair list — the VERIFY
+    step of the LSH candidate -> verify dedup loop (pairs from
+    lsh_candidate_pairs; ngram_jaccard_adjacent is the fixed-stride
+    shape of the same computation).
+
+    -> (doc_a, doc_b, sim_est, jaccard) for pairs with jaccard >=
+    ``threshold``.  Two hash joins keyed on ids: only the candidate
+    pairs' token sets move, never the corpus — at 100 TB the pair list
+    is orders of magnitude smaller than the corpus, so this stays a
+    pair-bounded join, not a second corpus pass."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(text_col)).alias("_ws"),
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
+    jac = F.round(
+        F.size(F.array_intersect("_wa", "_wb"))
+        / F.size(F.array_union("_wa", "_wb")),
+        6,
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "sim_est", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_adjacent(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -233,23 +233,36 @@ def _detect_tables(rects, chars, l, r, b, t, size):
             )
         else:
             sidx = np.zeros(0, dtype=np.int64)
+        # vectorized row/col assignment + spans for the whole component
+        # (identical semantics: argmin keeps the FIRST nearest band,
+        # matching min(range, key=abs(...)))
+        carr = np.asarray(comp, dtype=np.float64)
+        cx0, cy0, cx1, cy1 = carr[:, 0], carr[:, 1], carr[:, 2], carr[:, 3]
+        rt = np.asarray(row_tops_desc, dtype=np.float64)
+        cl = np.asarray(col_lefts, dtype=np.float64)
+        row_idxs = np.abs(cy1[:, None] - rt[None, :]).argmin(axis=1)
+        col_idxs = np.abs(cx0[:, None] - cl[None, :]).argmin(axis=1)
+        row_spans = np.maximum(
+            1,
+            (
+                (rt[None, :] > cy0[:, None] + RECT_SNAP_TOL)
+                & (rt[None, :] <= cy1[:, None] + RECT_SNAP_TOL)
+            ).sum(axis=1),
+        )
+        col_spans = np.maximum(
+            1,
+            (
+                (cl[None, :] >= cx0[:, None] - RECT_SNAP_TOL)
+                & (cl[None, :] < cx1[:, None] - RECT_SNAP_TOL)
+            ).sum(axis=1),
+        )
         cells = []
-        for rect in comp:
+        for ri, rect in enumerate(comp):
             x0, y0, x1, y1 = rect
-            row_idx = min(
-                range(len(row_tops_desc)), key=lambda i: abs(row_tops_desc[i] - y1)
-            )
-            col_idx = min(
-                range(len(col_lefts)), key=lambda i: abs(col_lefts[i] - x0)
-            )
-            row_span = max(
-                1,
-                sum(1 for tt in row_tops_desc if y0 + RECT_SNAP_TOL < tt <= y1 + RECT_SNAP_TOL),
-            )
-            col_span = max(
-                1,
-                sum(1 for cc in col_lefts if x0 - RECT_SNAP_TOL <= cc < x1 - RECT_SNAP_TOL),
-            )
+            row_idx = int(row_idxs[ri])
+            col_idx = int(col_idxs[ri])
+            row_span = int(row_spans[ri])
+            col_span = int(col_spans[ri])
             if len(sidx):
                 m = (
                     (scx >= x0 - PDF_WORD_TOLERANCE)

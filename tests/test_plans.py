@@ -130,6 +130,35 @@ def test_lsh_pairs_single_bucket_shuffle_and_cap(spark, sf):
     assert all(r.n_docs == dedup.LSH_BUCKET_CAP + 1 for r in over)
 
 
+def test_verify_candidates_exact_jaccard(spark, sf):
+    """verify step of the LSH loop: exact Jaccard on the candidate
+    pairs only, values hand-checkable, threshold filters."""
+    from pdf_extraction_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # near dup
+            (4, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidate_pairs(docs)
+    got = {(r.doc_a, r.doc_b): r for r in
+           dedup.verify_candidates(docs, pairs).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)].jaccard == 1.0
+    for r in got.values():
+        assert 0.0 <= r.jaccard <= 1.0 and 0.0 <= r.sim_est <= 1.0
+    # hand check: docs 1 and 3 share 5 of 7 distinct words
+    if (1, 3) in got:
+        assert got[(1, 3)].jaccard == round(5 / 7, 6)
+    # threshold keeps only exact-or-near dups
+    strict = dedup.verify_candidates(docs, pairs, threshold=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in strict} <= {(1, 2)}
+
+
 def test_ann_bucket_no_self_join(spark, sf):
     """ANN bucket is a column on the embeddings scan — no join of the
     embeddings table against itself to attach the bucket."""
