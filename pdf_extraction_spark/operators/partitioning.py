@@ -25,6 +25,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     with at least core-count splits, so at scale this never introduces
     a shuffle — the degenerate case is exactly the one it fixes.
     """
+    if df.isStreaming:  # partition introspection needs a batch plan
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
