@@ -200,3 +200,51 @@ def test_streaming_extract_incremental(spark, work_dir):
     batch = extract_stage(spark.read.parquet(inp))
     assert got.count() == batch.count()
     assert got.select("url").distinct().count() == 30
+
+
+def test_streaming_vector_build(spark, work_dir):
+    """embed_stage + LSH bucket bound to a chunk-file stream: two
+    AvailableNow drains; output vectors are bit-identical to the batch
+    embedding of the same chunks."""
+    import pyspark.sql.functions as F
+
+    from pdf_extraction_spark.operators.embed import EMBED_DIM, embed_stage
+    from pdf_extraction_spark.operators.similarity import bucket_col
+
+    inp, out, ck = (f"{work_dir}/sv_in", f"{work_dir}/sv_out", f"{work_dir}/sv_ck")
+    rows1 = [
+        (f"https://h{i % 3}.example/doc{i:06d}", 1, i, "page_text",
+         f"chunk text number {i} alpha beta")
+        for i in range(40)
+    ]
+    df1 = spark.createDataFrame(rows1, ingest.TYPED_CHUNKS_DDL)
+    df1.write.mode("overwrite").parquet(inp)
+    q = ingest.stream_vector_build(spark, inp, out, ck)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    rows2 = [
+        (f"https://h9.example/doc{i:06d}", 2, i, "table",
+         f"late chunk {i} gamma delta")
+        for i in range(40, 55)
+    ]
+    spark.createDataFrame(rows2, ingest.TYPED_CHUNKS_DDL).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = ingest.stream_vector_build(spark, inp, out, ck)
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 55
+    # bit-identical to the batch dataflow over the same input
+    batch = embed_stage(spark.read.parquet(inp)).withColumn(
+        "bucket", bucket_col("embedding", dim=EMBED_DIM)
+    )
+    key = ["url", "page_no", "chunk_id", "source_type"]
+    j = got.alias("s").join(batch.alias("b"), key)
+    n_same = j.filter(
+        (F.col("s.bucket") == F.col("b.bucket"))
+        & (F.col("s.embedding") == F.col("b.embedding"))
+    ).count()
+    assert n_same == 55
