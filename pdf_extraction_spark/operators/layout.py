@@ -176,14 +176,22 @@ def _cluster_1d(values, tol: float) -> list[float]:
     return bands
 
 
-def _cell_text(chars, l, r, b, t, size, mask) -> str:
-    """Reading-order text of a masked glyph subset (vectorized)."""
+def _cell_text(chars, l, r, b, t, size, mask, keys=None) -> str:
+    """Reading-order text of a masked glyph subset (vectorized).
+    ``keys`` (optional) = precomputed rint(b/LINE_Y_QUANT) for the full
+    arrays, hoisted out of the per-cell loop by _detect_tables."""
     if not mask.any():
         return ""
     mc, ml, mr, mb, mt, ms = (
         chars[mask], l[mask], r[mask], b[mask], t[mask], size[mask]
     )
-    key = np.rint(mb / LINE_Y_QUANT).astype(np.int64)
+    if len(mc) == 1:
+        return str(mc[0])
+    key = (
+        keys[mask]
+        if keys is not None
+        else np.rint(mb / LINE_Y_QUANT).astype(np.int64)
+    )
     if (key == key[0]).all():
         # single-line cell fast path: text only, no line dicts
         order = np.argsort(ml, kind="stable")
@@ -256,22 +264,29 @@ def _detect_tables(rects, chars, l, r, b, t, size):
                 & (cl[None, :] < cx1[:, None] - RECT_SNAP_TOL)
             ).sum(axis=1),
         )
+        # one containment matrix for the whole component (cells x sub
+        # glyphs) instead of four comparisons per cell — identical
+        # per-cell masks, one numpy pass
+        if len(sidx):
+            tol = PDF_WORD_TOLERANCE
+            cell_masks = (
+                (scx[None, :] >= cx0[:, None] - tol)
+                & (scx[None, :] <= cx1[:, None] + tol)
+                & (scy[None, :] >= cy0[:, None] - tol)
+                & (scy[None, :] <= cy1[:, None] + tol)
+            )
+            in_table[sidx[cell_masks.any(axis=0)]] = True
+            skeys = np.rint(sb / LINE_Y_QUANT).astype(np.int64)
         cells = []
         for ri, rect in enumerate(comp):
-            x0, y0, x1, y1 = rect
             row_idx = int(row_idxs[ri])
             col_idx = int(col_idxs[ri])
             row_span = int(row_spans[ri])
             col_span = int(col_spans[ri])
             if len(sidx):
-                m = (
-                    (scx >= x0 - PDF_WORD_TOLERANCE)
-                    & (scx <= x1 + PDF_WORD_TOLERANCE)
-                    & (scy >= y0 - PDF_WORD_TOLERANCE)
-                    & (scy <= y1 + PDF_WORD_TOLERANCE)
+                text = _cell_text(
+                    schars, sl, sr, sb, st, ssize, cell_masks[ri], keys=skeys
                 )
-                in_table[sidx[m]] = True
-                text = _cell_text(schars, sl, sr, sb, st, ssize, m)
             else:
                 text = ""
             cells.append(

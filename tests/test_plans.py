@@ -183,3 +183,48 @@ def test_strip_default_does_not_broadcast_patterns(spark, sf):
     assert "BroadcastHashJoin" not in default_plan
     opted = plan_of(strip_stage(pages, join_strategy="broadcast"))
     assert "BroadcastHashJoin" in opted
+
+
+def test_shingle_array_equals_window_form_fuzz(spark):
+    """The codegen regexp shingle construction is exactly the sliding
+    window over split-minus-empties tokens: pinned against the round-1
+    window form on 1,500 seeded messy-spacing texts (multi-space runs,
+    leading/trailing spaces, multibyte, null/empty/blank edges)."""
+    import random
+    import string
+
+    from pyspark.sql import Window
+
+    from pdf_extraction_spark.operators import dedup
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(1500):
+        n = rnd.randint(0, 12)
+        toks = [
+            "".join(rnd.choices(string.ascii_lowercase + "가나다0123.|", k=rnd.randint(1, 6)))
+            for _ in range(n)
+        ]
+        text = (" " * rnd.randint(0, 2)) + (" " * rnd.randint(1, 3)).join(toks) + (
+            " " * rnd.randint(0, 2)
+        )
+        rows.append((i, text))
+    rows += [(90001, None), (90002, ""), (90003, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    old = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("shingle"),
+            F.lead("w", 2).over(win).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    new = docs.select("doc_id", F.explode(dedup.shingle_array("text")).alias("shingle"))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
