@@ -57,6 +57,11 @@ def bm25_scores(
     terms = docs.select(id_col, "doc_len", F.explode("tokens").alias("term")).filter(
         F.col("term").isin(query_terms)
     )
+    # NOTE: deriving df from `terms` via distinct was tried (round 3)
+    # and reverted: it swaps this second map-side explode+filter (cheap,
+    # shuffle-free) for a distinct EXCHANGE on (id, term) — measured
+    # slower pinned, and strictly worse at scale where map CPU is free
+    # relative to shuffles
     df_counts = (
         docs.select(id_col, F.explode(F.array_distinct("tokens")).alias("term"))
         .filter(F.col("term").isin(query_terms))
