@@ -27,8 +27,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     if df.isStreaming:  # partition introspection needs a batch plan
         return df
+    # The introspection below (df.rdd) forces a full logical->RDD plan
+    # conversion on the driver.  Composed helpers re-enter this guard
+    # several times on the SAME DataFrame object (e.g.
+    # lsh_candidate_pairs -> minhash_signature -> shingles), so tag the
+    # checked/repartitioned object and skip repeat work — nested calls
+    # then cost one attribute read, and a plan never stacks a second
+    # round-robin exchange on an already-guarded input.
+    cached = getattr(df, "_parallelism_result", None)
+    if cached is not None:
+        return cached
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+        out = df
+    else:
+        out = df.repartition(target)
+    # Memoize on the INPUT object (composed helpers like
+    # lsh_candidate_pairs -> minhash_signature -> shingles all re-enter
+    # with the same df), and mark the OUTPUT self-resolved so guarding
+    # an already-guarded frame is a no-op — one introspection per
+    # DataFrame per plan instead of one per helper entry.
+    out._parallelism_result = out
+    df._parallelism_result = out
+    return out

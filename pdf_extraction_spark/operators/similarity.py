@@ -114,7 +114,7 @@ def _pack_centroids(cent_tbl: DataFrame) -> DataFrame:
 
 def ivf_train(
     embeddings: DataFrame, n_lists: int = 8, iters: int = 2,
-    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
 ) -> DataFrame:
     """Deterministic IVF coarse quantizer training: seed with the
     n_lists lowest-id vectors, then ``iters`` Lloyd refinement steps —
@@ -126,14 +126,31 @@ def ivf_train(
     a list that empties keeps its previous centroid.  Returns the
     packed single-row centroid table (see _pack_centroids) — pass the
     SAME row to ivf_assign and the probe-list computation so both sides
-    of the search quantize identically."""
-    vecs = ensure_parallelism(embeddings).select(
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
-    )
+    of the search quantize identically.
+
+    ``dim`` defaults to None = derived from the seed vectors (one
+    ``first()`` on the n_lists-row checkpointed seed table — no scan of
+    the corpus), so any embedding width works; vectors whose length
+    disagrees with the derived/declared dim fail the job loudly via
+    raise_error instead of silently averaging into null centroids."""
     cent_tbl = embeddings.orderBy(id_col).limit(n_lists).select(
         F.col(id_col).cast("long").alias("cid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
     ).localCheckpoint()
+    if dim is None:
+        seed = cent_tbl.select("cv").first()
+        if seed is None:
+            raise ValueError("ivf_train: empty embeddings input")
+        dim = len(seed["cv"])
+    casted = F.transform(vec_col, lambda x: x.cast("double"))
+    vecs = ensure_parallelism(embeddings).select(
+        F.when(F.size(vec_col) == F.lit(dim), casted)
+        .otherwise(F.raise_error(
+            F.concat(F.lit(f"ivf_train: embedding length != {dim} for "
+                           f"{vec_col} of length "),
+                     F.size(vec_col).cast("string"))))
+        .alias("_v")
+    )
     for _ in range(max(0, iters)):
         cents = _pack_centroids(cent_tbl)
         assigned = vecs.crossJoin(F.broadcast(cents)).select(

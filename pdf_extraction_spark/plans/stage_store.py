@@ -26,7 +26,110 @@ def _dir(root: str, stage: str) -> str:
 
 
 def is_committed(root: str, stage: str) -> bool:
+    """True iff the stage directory carries a committed marker.
+
+    If the marker is absent, first attempt crash recovery: the swap in
+    commit_stage/upsert_stage has a window between rename(path->old)
+    and rename(tmp->path) where the stage PATH does not exist even
+    though a fully-written marked snapshot (the tmp, and the old) is
+    still on disk.  recover_stage() promotes the marked tmp (the commit
+    takes effect) or restores the marked old (the commit rolls back),
+    so a crash in that window degrades to nothing instead of a full
+    recompute plus leaked directories.  Assumes no concurrent writer on
+    the same stage (single-committer, as the rest of this store does)."""
+    if os.path.exists(os.path.join(_dir(root, stage), MARKER)):
+        return True
+    recover_stage(root, stage)
     return os.path.exists(os.path.join(_dir(root, stage), MARKER))
+
+
+def _siblings(root: str, stage: str, kind: str) -> list[str]:
+    """Marked-or-not `<stage>.{tmp,old}-<run_id>` sibling dirs, newest
+    (by mtime) first."""
+    prefix = f"{stage}.{kind}-"
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    dirs = [
+        os.path.join(root, n)
+        for n in names
+        if n.startswith(prefix) and os.path.isdir(os.path.join(root, n))
+    ]
+    return sorted(dirs, key=os.path.getmtime, reverse=True)
+
+
+def recover_stage(root: str, stage: str) -> str | None:
+    """Repair a stage whose directory lost its marker to a mid-swap
+    crash; returns the action taken (None | 'promoted_tmp' |
+    'restored_old').
+
+    Rules (see commit_stage's swap order: write+mark tmp; rename
+    path->old; rename tmp->path; rmtree old):
+      * path marked               -> nothing to do here (orphan tmp/old
+        siblings are cleaned by gc_stage / the admin CLI, not on the
+        hot read path);
+      * path missing/unmarked, a MARKED tmp exists -> promote the
+        newest marked tmp into place (the snapshot was fully written
+        and marked, so the commit takes effect), drop the rest;
+      * else a MARKED old exists  -> restore the newest (roll back);
+      * unmarked tmps are half-written garbage either way -> removed.
+    """
+    path = _dir(root, stage)
+    if os.path.exists(os.path.join(path, MARKER)):
+        return None
+    marked = [
+        d for d in _siblings(root, stage, "tmp")
+        if os.path.exists(os.path.join(d, MARKER))
+    ]
+    action = None
+    source = None
+    if marked:
+        source, action = marked[0], "promoted_tmp"
+    else:
+        olds = [
+            d for d in _siblings(root, stage, "old")
+            if os.path.exists(os.path.join(d, MARKER))
+        ]
+        if olds:
+            source, action = olds[0], "restored_old"
+    if source is None:
+        return None
+    if os.path.exists(path):  # unmarked (half-written) stage dir
+        shutil.rmtree(path)
+    os.rename(source, path)
+    gc_stage(root, stage)
+    return action
+
+
+def gc_stage(root: str, stage: str) -> list[str]:
+    """Remove leftover `<stage>.tmp-*` / `<stage>.old-*` dirs once the
+    stage path itself is committed; returns the paths removed.  Safe
+    only with no concurrent writer on this stage."""
+    if not os.path.exists(os.path.join(_dir(root, stage), MARKER)):
+        return []
+    removed = []
+    for kind in ("tmp", "old"):
+        for d in _siblings(root, stage, kind):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed
+
+
+def stages(root: str) -> list[str]:
+    """Stage names under ``root`` (directories that are not tmp/old
+    swap leftovers), sorted."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in sorted(names):
+        if ".tmp-" in n or ".old-" in n:
+            continue
+        if os.path.isdir(os.path.join(root, n)):
+            out.append(n)
+    return out
 
 
 def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
@@ -37,7 +140,10 @@ def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
     Same crash discipline as ``upsert_stage``: the snapshot is written
     and marked in a temp dir, any previous snapshot is renamed aside,
     the temp dir renamed into place, and the old snapshot deleted last
-    — at no instant is the directory missing a marked snapshot."""
+    — a marked snapshot (tmp, old, or path) survives on DISK at every
+    instant, and the brief window where the stage PATH itself does not
+    exist is healed by recover_stage() on the next
+    is_committed/read_stage (promote marked tmp, else restore old)."""
     path = _dir(root, stage)
     tmp = f"{path}.tmp-{run_id}"
     df.write.mode("overwrite").parquet(tmp)
@@ -124,6 +230,7 @@ def upsert_stage(
 
 
 def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    is_committed(root, stage)  # triggers mid-swap crash recovery
     return spark.read.parquet(_dir(root, stage))
 
 

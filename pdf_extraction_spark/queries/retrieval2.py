@@ -153,7 +153,12 @@ def q_chunk_rerank_topk(spark, sf_dir):
     )
 
 
-_QBIGRAMS = "['spark join', 'join table']"
+# Derived from QUERY_TERMS exactly as chunk_rerank_search derives them
+# (operators/retrieval.py: zip(terms, terms[1:]) + max(1, len) divisor),
+# so editing QUERY_TERMS cannot silently diverge this oracle from Spark.
+_QBI = [f"{a} {b}" for a, b in zip(QUERY_TERMS, QUERY_TERMS[1:])]
+_QBIGRAMS = "['" + "','".join(_QBI) + "']"
+_QBIGRAM_DIV = float(max(1, len(_QBI)))
 
 SQL_CHUNK_RERANK_TOPK = f"""
 WITH chunks AS ({_SQL_CHUNKS}),
@@ -203,7 +208,7 @@ rescored AS (
          ROUND(CAST(len(list_intersect(
                  list_distinct(list_transform(generate_series(1, GREATEST(len({_TOKS}) - 1, 0)),
                                               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])),
-                 {_QBIGRAMS})) AS DOUBLE) / 2.0, 6) AS rerank_score
+                 {_QBIGRAMS})) AS DOUBLE) / {_QBIGRAM_DIV}, 6) AS rerank_score
   FROM pool),
 deduped AS (
   SELECT * FROM rescored

@@ -21,6 +21,23 @@ def test_well_partitioned_input_untouched(spark):
     assert out is df
 
 
+def test_guard_memoized_per_dataframe(spark):
+    """Composed helpers re-enter the guard with the same DataFrame
+    object (lsh_candidate_pairs -> minhash_signature -> shingles); the
+    introspection (df.rdd plan conversion) must run once, and the
+    repartitioned OUTPUT must be self-resolved so guarding it again is
+    a no-op instead of stacking a second exchange."""
+    df = spark.range(1000).coalesce(1)
+    out = ensure_parallelism(df)
+    assert ensure_parallelism(df) is out      # input memoized
+    assert ensure_parallelism(out) is out     # output self-resolved
+
+    well = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    kept = ensure_parallelism(well)
+    assert kept is well
+    assert ensure_parallelism(well) is well   # negative case memoized too
+
+
 def test_corpus_v1_is_frozen():
     """The cross-round benchmark workload must never drift: pin a
     digest over the first 20 documents of the frozen generator.  If

@@ -161,6 +161,34 @@ def test_ann_ivf_topk_recall_and_plan(spark):
     assert c1 == c2
 
 
+def test_ivf_dim_agnostic_and_loud_on_mismatch(spark):
+    """dim is derived from the seed vectors (r3 hardcoded dim=64, so
+    any other width silently produced null centroids and list_id=-1
+    everywhere); a corpus with MIXED widths must fail the job loudly
+    instead of averaging nulls."""
+    import random
+
+    import pytest
+
+    from pdf_extraction_spark.operators.similarity import ann_ivf_topk, ivf_assign, ivf_train
+
+    rng = random.Random(7)
+    rows = [(i, [rng.random() for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = ivf_assign(emb, n_lists=4)
+    per_list = {r.list_id: r["cnt"] for r in
+                assigned.groupBy("list_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(lid >= 0 for lid in per_list)          # no null-centroid fallout
+    assert len(per_list) >= 2                          # quantizer partitions
+    assert len(ann_ivf_topk(emb, probe_id=3, k=5, n_lists=4, n_probe=2).collect()) == 5
+
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length"):
+        ivf_train(bad, n_lists=2).collect()
+
+
 def test_ann_ivf_recall_at_scale(spark):
     """Recall@10 bound for the trained IVF quantizer at sf0.1: with
     n_lists=16 / n_probe=4 (25% of the corpus scanned) mean recall over
