@@ -124,7 +124,8 @@ def run_pipeline(
         chunks = stage_store.read_stage(spark, out_root, "chunks")
     else:
         chunks = stage_store.commit_stage(
-            chunk_stage(doc_text), out_root, "chunks", run_id
+            chunk_stage(doc_text), out_root, "chunks", run_id,
+            bucket_by=["url"],
         )
     out["chunks"] = chunks
     return out
@@ -149,8 +150,15 @@ def run_vector_build(
     pages = stage_store.read_stage(spark, out_root, "pages")
     page_text = stage_store.read_stage(spark, out_root, "page_text")
 
+    # Both vector tables commit BUCKETED by url (stage_store bucket
+    # spec in the marker): retrieval's chunk->page aggregations and the
+    # typed_chunks <-> chunk_vectors joins over the committed snapshots
+    # are then exchange-free (tests/test_bucketing.py pins the plans),
+    # and the chunk_vectors write itself re-reads an already-url-
+    # clustered table so even the commit shuffle is paid only once.
     typed = stage_store.commit_stage(
-        typed_chunk_stage(page_text, pages), out_root, "typed_chunks", run_id
+        typed_chunk_stage(page_text, pages), out_root, "typed_chunks", run_id,
+        bucket_by=["url"],
     )
     from ..operators.embed import EMBED_DIM
 
@@ -161,6 +169,7 @@ def run_vector_build(
         out_root,
         "chunk_vectors",
         run_id,
+        bucket_by=["url"],
     )
     return {"typed_chunks": typed, "chunk_vectors": vectors}
 
@@ -258,7 +267,8 @@ def run_incremental(
         )
         out["doc_text"] = doc_text
         out["chunks"] = stage_store.commit_stage(
-            chunk_stage(doc_text), out_root, "chunks", run_id
+            chunk_stage(doc_text), out_root, "chunks", run_id,
+            bucket_by=["url"],
         )
         return out
 

@@ -25,6 +25,66 @@ def _dir(root: str, stage: str) -> str:
     return os.path.join(root, stage)
 
 
+def _table_name(root: str, stage: str) -> str:
+    """Deterministic catalog name for a bucketed stage — root-scoped so
+    several stage roots can coexist in one session."""
+    import hashlib
+
+    return f"stage_{stage}_{hashlib.md5(root.encode()).hexdigest()[:8]}"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _write_bucketed(
+    df: DataFrame, tmp: str, root: str, stage: str, run_id: str,
+    bucket: dict,
+) -> None:
+    """Write ``df`` bucket-hashed + bucket-sorted into ``tmp`` via a
+    throwaway external table (Spark's DataSource bucketing only writes
+    through saveAsTable; the bucket id lives in the part-file NAMES, so
+    the files stay bucketed across the directory swap)."""
+    spark = df.sparkSession
+    keys = bucket["keys"]
+    tmp_table = f"{_table_name(root, stage)}_tmp_{run_id}"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(bucket["n"], keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .option("path", tmp)
+        .saveAsTable(tmp_table)
+    )
+    spark.sql(f"DROP TABLE `{tmp_table}`")  # metadata only; files stay
+
+
+def register_stage_table(
+    spark: SparkSession, root: str, stage: str
+) -> DataFrame | None:
+    """(Re-)register the external bucketed catalog table for a stage
+    whose marker carries a bucket spec; returns the table DataFrame, or
+    None for unbucketed stages.  The catalog entry is session-local
+    (in-memory catalog), so a fresh session re-creates it from the
+    marker — the files themselves carry the bucketing."""
+    info = marker_info(root, stage)
+    bucket = (info or {}).get("bucket")
+    if not bucket:
+        return None
+    name = _table_name(root, stage)
+    path = _dir(root, stage)
+    keys = ", ".join(f"`{k}`" for k in bucket["keys"])
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(
+        f"CREATE TABLE `{name}` ({bucket['ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {bucket['n']} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
 def is_committed(root: str, stage: str) -> bool:
     """True iff the stage directory carries a committed marker.
 
@@ -132,7 +192,10 @@ def stages(root: str) -> list[str]:
     return out
 
 
-def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
+def commit_stage(
+    df: DataFrame, root: str, stage: str, run_id: str,
+    bucket_by: list[str] | None = None, n_buckets: int = 16,
+) -> DataFrame:
     """Write + mark committed; returns the re-read DataFrame (so
     downstream stages consume the materialized snapshot, not the
     lineage — the checkpoint/resume boundary).
@@ -143,12 +206,29 @@ def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
     — a marked snapshot (tmp, old, or path) survives on DISK at every
     instant, and the brief window where the stage PATH itself does not
     exist is healed by recover_stage() on the next
-    is_committed/read_stage (promote marked tmp, else restore old)."""
+    is_committed/read_stage (promote marked tmp, else restore old).
+
+    ``bucket_by`` commits the snapshot BUCKETED (hash-clustered + bucket
+    -sorted) on those keys: the shuffle is paid once at commit and every
+    downstream equi-join / aggregation on a superset of the keys over
+    the committed table is exchange-free (plans/bucketing.py explains
+    the idiom; tests/test_bucketing.py pins the plans).  The bucket spec
+    rides in the marker so a fresh session re-registers the catalog
+    table from disk.  16 buckets fits the sandbox; a 100 TB stage would
+    use O(cluster cores) buckets — Iceberg's bucket transform in
+    production."""
     path = _dir(root, stage)
     tmp = f"{path}.tmp-{run_id}"
-    df.write.mode("overwrite").parquet(tmp)
+    info: dict = {"run_id": run_id, "committed_at": time.time()}
+    if bucket_by:
+        info["bucket"] = {
+            "keys": list(bucket_by), "n": n_buckets, "ddl": _schema_ddl(df),
+        }
+        _write_bucketed(df, tmp, root, stage, run_id, info["bucket"])
+    else:
+        df.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
-        json.dump({"run_id": run_id, "committed_at": time.time()}, fh)
+        json.dump(info, fh)
     old = None
     if os.path.exists(path):
         old = f"{path}.old-{run_id}"
@@ -158,13 +238,23 @@ def commit_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
         shutil.rmtree(old)
     spark = df.sparkSession
     spark.catalog.refreshByPath(path)
+    if bucket_by:
+        return register_stage_table(spark, root, stage)
     return spark.read.parquet(path)
 
 
 def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame:
     """Append an increment to a committed stage (Iceberg append commit
-    in production); marker records the append history."""
+    in production); marker records the append history.  Refuses on a
+    bucketed stage: appended plain files would break the clustering the
+    catalog metadata promises (use upsert_stage, which re-clusters)."""
     path = _dir(root, stage)
+    info0 = marker_info(root, stage)
+    if info0 and info0.get("bucket"):
+        raise ValueError(
+            f"append_stage: stage '{stage}' is bucketed; append would "
+            "violate its clustering — use upsert_stage"
+        )
     df.write.mode("append").parquet(path)
     info = marker_info(root, stage) or {}
     appends = info.get("appends", [])
@@ -213,8 +303,13 @@ def upsert_stage(
         df, allowMissingColumns=True
     )
     tmp = f"{path}.tmp-{run_id}"
-    merged.write.mode("overwrite").parquet(tmp)
     info = marker_info(root, stage) or {}
+    if info.get("bucket"):
+        # a bucketed stage stays bucketed across merges — the rewrite
+        # re-clusters, so the catalog metadata never lies about files
+        _write_bucketed(merged, tmp, root, stage, run_id, info["bucket"])
+    else:
+        merged.write.mode("overwrite").parquet(tmp)
     upserts = info.get("upserts", [])
     upserts.append({"run_id": run_id, "committed_at": time.time()})
     info.update({"upserts": upserts})
@@ -226,11 +321,20 @@ def upsert_stage(
     shutil.rmtree(old)
     # drop stale file listings cached for the swapped path
     spark.catalog.refreshByPath(path)
+    if info.get("bucket"):
+        return register_stage_table(spark, root, stage)
     return spark.read.parquet(path)
 
 
 def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     is_committed(root, stage)  # triggers mid-swap crash recovery
+    info = marker_info(root, stage)
+    if info and info.get("bucket"):
+        name = _table_name(root, stage)
+        if spark.catalog.tableExists(name):
+            spark.catalog.refreshTable(name)
+            return spark.table(name)
+        return register_stage_table(spark, root, stage)
     return spark.read.parquet(_dir(root, stage))
 
 
