@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .partitioning import ensure_parallelism
 from ..constants import (
     BM25_B,
     BM25_K1,
@@ -32,10 +31,18 @@ from ..constants import (
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokenization (the corpus is space-tokenizable by
     construction; the reference's Korean morpheme tokenizer is out of
-    scope per SURVEY.md §7.5)."""
-    # tokenization feeds heavy row-local scoring fused with the scan:
-    # guard against one-row-group inputs (partitioning.py; no-op at scale)
-    return ensure_parallelism(df).withColumn(
+    scope per SURVEY.md §7.5).
+
+    Deliberately UNGUARDED (no ensure_parallelism): the retrieval
+    consumers do cheap per-token work (isin filter / set intersect), so
+    on an under-split input the guard's exchange + plan introspection
+    cost MORE than the single-core fused stage saves — measured pinned
+    + interleaved in BENCH/BM25_FORMS.md (r2_noguard 0.484s vs guarded
+    0.580s median; the r3 +35% bm25_documents regression was exactly
+    this).  The md5-heavy families guard their own inputs (dedup.py
+    shingles/simhash16, similarity.py), where the same measurement
+    shows the guard winning 4-7x."""
+    return df.withColumn(
         "tokens",
         F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
     ).withColumn("doc_len", F.size("tokens"))
