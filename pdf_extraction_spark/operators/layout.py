@@ -207,6 +207,50 @@ def _cell_text(chars, l, r, b, t, size, mask, keys=None) -> str:
     return " ".join(line["text"] for line in sub)
 
 
+def _batched_cell_texts(cell_masks, schars, sl, sr, sb, st, ssize, skeys) -> dict:
+    """Reading-order text for EVERY cell of a component in one pass
+    (NOTES.md round-4 backlog 3: the per-cell `_cell_text` calls —
+    fancy-indexing + argsort per cell — were ~25% of the single-core
+    layout profile).
+
+    Semantics are identical to `_cell_text` per cell: glyphs ordered by
+    (line-key desc, x asc) and joined with a space at every line break
+    or word gap, '' otherwise — one np.nonzero over the containment
+    matrix (duplicates preserved: a glyph inside two tolerance-expanded
+    cells contributes to both, exactly as the per-cell masks did), ONE
+    lexsort over (cell, -key, x) for the whole component, vectorized
+    break flags, one interleaved join and one split on a \x01 sentinel
+    (NUL itself vanishes inside numpy's NUL-terminated U dtype; a
+    literal \x01 glyph falls back to the per-cell path).  Returns
+    {cell_index: text} for non-empty cells."""
+    ci, gi = np.nonzero(cell_masks)
+    if not len(ci):
+        return {}
+    if (schars == "\x01").any():  # sentinel collision: per-cell fallback
+        return {
+            ri: _cell_text(schars, sl, sr, sb, st, ssize, cell_masks[ri],
+                           keys=skeys)
+            for ri in range(cell_masks.shape[0])
+        }
+    order = np.lexsort((sl[gi], -skeys[gi], ci))
+    ci_o, gi_o = ci[order], gi[order]
+    lo, ro, so, ko = sl[gi_o], sr[gi_o], ssize[gi_o], skeys[gi_o]
+    n = len(ci_o)
+    same_cell = np.zeros(n, dtype=bool)
+    same_cell[1:] = ci_o[1:] == ci_o[:-1]
+    newline = same_cell.copy()
+    newline[1:] &= ko[1:] != ko[:-1]
+    gap = same_cell.copy()
+    gap[1:] &= (lo[1:] - ro[:-1]) > WORD_GAP_FACTOR * so[:-1]
+    gap &= ~newline
+    buf = np.empty(2 * n, dtype="U1")
+    buf[0::2] = np.where(~same_cell, "\x01", np.where(newline | gap, " ", ""))
+    buf[1::2] = schars[gi_o]
+    texts = "".join(buf.tolist()).split("\x01")[1:]
+    cell_ids = ci_o[np.flatnonzero(~same_cell)]
+    return dict(zip(cell_ids.tolist(), texts))
+
+
 def _detect_tables(rects, chars, l, r, b, t, size):
     tables = []
     in_table = np.zeros(len(chars), dtype=bool)
@@ -277,18 +321,18 @@ def _detect_tables(rects, chars, l, r, b, t, size):
             )
             in_table[sidx[cell_masks.any(axis=0)]] = True
             skeys = np.rint(sb / LINE_Y_QUANT).astype(np.int64)
+            cell_texts = _batched_cell_texts(
+                cell_masks, schars, sl, sr, sb, st, ssize, skeys
+            )
+        else:
+            cell_texts = {}
         cells = []
         for ri, rect in enumerate(comp):
             row_idx = int(row_idxs[ri])
             col_idx = int(col_idxs[ri])
             row_span = int(row_spans[ri])
             col_span = int(col_spans[ri])
-            if len(sidx):
-                text = _cell_text(
-                    schars, sl, sr, sb, st, ssize, cell_masks[ri], keys=skeys
-                )
-            else:
-                text = ""
+            text = cell_texts.get(ri, "")
             cells.append(
                 {
                     "row": row_idx,

@@ -90,6 +90,61 @@ def bucket_col(vec_col: str = "embedding", n_planes: int = N_PLANES, dim: int = 
     return F.concat(*bits)
 
 
+def _projection_cols(vec_col: str, n_planes: int, dim: int) -> "F.Column":
+    """array<double> of the raw hyperplane projections (bucket_col is
+    their sign string) — used by multi-probe to rank which single bit
+    sits closest to its hyperplane."""
+    projs = []
+    for p in range(n_planes):
+        signs = F.array(
+            *[F.lit(hyperplane_sign_value(p, i)) for i in range(dim)]
+        )
+        projs.append(F.aggregate(
+            F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+    return F.array(*projs)
+
+
+def probe_buckets_col(
+    vec_col: str, n_planes: int, dim: int, n_probe: int
+) -> "F.Column":
+    """array<string> of the probe's ``n_probe`` most likely buckets:
+    its own bucket first, then the buckets reached by flipping ONE bit
+    each, in increasing |projection| order (the classic multi-probe
+    heuristic: the nearest-margin hyperplane is the most likely to have
+    put a true neighbour on the other side).  Ties break on plane
+    index, so the set is deterministic."""
+    base = bucket_col(vec_col, n_planes, dim)
+    if n_probe <= 1:
+        return F.array(base)
+    projs = _projection_cols(vec_col, n_planes, dim)
+    flip_order = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda i: F.struct(
+                    F.abs(F.element_at(projs, i + 1)).alias("m"),
+                    i.alias("p"),
+                ),
+            )
+        ),
+        lambda s: s["p"],
+    )
+
+    def flipped(p):
+        # flip character p (0-based) of the base bit string
+        ch = F.substring(base, p + 1, 1)
+        return F.concat(
+            F.substring(base, 1, p),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(base, p + 2, n_planes),
+        )
+    flips = F.transform(F.slice(flip_order, 1, n_probe - 1), flipped)
+    return F.concat(F.array(base), flips)
+
+
 def lsh_buckets(
     embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int = 64,
@@ -320,21 +375,31 @@ def embedding_neardup_pairs(
 def ann_lsh_topk(
     embeddings: DataFrame, probe_id: int, k: int = 5, n_planes: int = N_PLANES,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN: restrict cosine scoring to the probe's LSH bucket.
+    """ANN: restrict cosine scoring to the probe's LSH bucket(s).
 
     The bucket is computed with withColumn on the same embeddings scan
     (round 1 self-joined embeddings against lsh_buckets(embeddings) —
     a full shuffle of the vector column for a value derivable in
-    place)."""
+    place).
+
+    ``n_probe`` > 1 enables multi-probe (the IVF twin of n_probe
+    lists): the probe also scans the buckets reached by flipping its
+    lowest-|projection| hyperplane bits — the candidate set grows to
+    ~n_probe/2^n_planes of the corpus and recall@k climbs accordingly
+    (bounds asserted at sf0.1 in tests/test_retrieval2.py).  The
+    probe-bucket set is one broadcast row; the scan side is unchanged,
+    so the scale shape stays a bucket-pruned lookup."""
     with_b = ensure_parallelism(embeddings).withColumn(
         "bucket", bucket_col(vec_col, n_planes, dim)
     )
     probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(
-        F.col("bucket").alias("_pb")
+        probe_buckets_col(vec_col, n_planes, dim, n_probe).alias("_pbs")
     )
     cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(
-        (F.col("bucket") == F.col("_pb")) & (F.col(id_col) != probe_id)
+        F.array_contains(F.col("_pbs"), F.col("bucket"))
+        & (F.col(id_col) != probe_id)
     )
     probe = embeddings.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_probe")

