@@ -136,7 +136,10 @@ def main() -> int:
         "sf_dir": SF_DIR,
         "cpus": args.cpus,
         "rounds": args.rounds,
-        "pinned": "taskset" in open("/proc/self/status").read() or None,
+        "cpus_allowed": [
+            line.split()[1] for line in open("/proc/self/status")
+            if line.startswith("Cpus_allowed_list")
+        ][0],
         "plans": plans,
         "median": {n: round(statistics.median(ts), 3) for n, ts in times.items()},
         "min": {n: round(min(ts), 3) for n, ts in times.items()},
