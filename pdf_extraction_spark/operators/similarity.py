@@ -192,11 +192,22 @@ def ivf_train(
         F.col(id_col).cast("long").alias("cid"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
     ).localCheckpoint()
+    # n_lists rows on the driver — validates EVERY seed against the
+    # derived/declared dim, so a wrong-width seed (or any mismatch at
+    # iters=0, where the guarded corpus scan below never evaluates)
+    # fails loudly instead of yielding mixed-width centroids.
+    seed_sizes = [
+        r["n"] for r in cent_tbl.select(F.size("cv").alias("n")).collect()
+    ]
+    if not seed_sizes:
+        raise ValueError("ivf_train: empty embeddings input")
     if dim is None:
-        seed = cent_tbl.select("cv").first()
-        if seed is None:
-            raise ValueError("ivf_train: empty embeddings input")
-        dim = len(seed["cv"])
+        dim = seed_sizes[0]
+    bad = sorted({n for n in seed_sizes if n != dim})
+    if bad:
+        raise ValueError(
+            f"ivf_train: seed embedding length(s) {bad} != dim {dim}"
+        )
     casted = F.transform(vec_col, lambda x: x.cast("double"))
     vecs = ensure_parallelism(embeddings).select(
         F.when(F.size(vec_col) == F.lit(dim), casted)

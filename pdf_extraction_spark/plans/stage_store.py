@@ -49,6 +49,11 @@ def _write_bucketed(
     the files stay bucketed across the directory swap)."""
     import re
 
+    # A crash between CTAS and the marker write leaves a non-empty
+    # unmarked tmp that recovery only GCs when it actually runs; unlike
+    # the unbucketed overwrite-parquet path, saveAsTable refuses a
+    # non-empty location — clear leftovers so a same-run_id retry works.
+    shutil.rmtree(tmp, ignore_errors=True)
     spark = df.sparkSession
     keys = bucket["keys"]
     safe_run = re.sub(r"[^A-Za-z0-9_]", "_", run_id)
@@ -86,6 +91,69 @@ def register_stage_table(
         f"INTO {bucket['n']} BUCKETS LOCATION '{path}'"
     )
     return spark.table(name)
+
+
+def _marked_with(d: str, run_id: str) -> bool:
+    """True iff ``d`` carries a marker whose commit OR any recorded
+    upsert/append was made by ``run_id``."""
+    p = os.path.join(d, MARKER)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p, encoding="utf-8") as fh:
+            info = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    if info.get("run_id") == run_id:
+        return True
+    return any(
+        e.get("run_id") == run_id
+        for kind in ("upserts", "appends")
+        for e in info.get(kind, [])
+    )
+
+
+def _swap_into_place(path: str, tmp: str, run_id: str) -> None:
+    """Rename the marked ``tmp`` snapshot into ``path`` (keeping any
+    previous snapshot aside until the swap lands, then dropping it).
+
+    Tolerates a concurrent READER having healed the swap for us: a
+    reader's is_committed/read_stage may run recover_stage during our
+    marker-written-but-not-yet-swapped window, promoting ``tmp`` into
+    ``path`` itself (and gc'ing siblings).  In that race our own renames
+    hit FileNotFoundError — treat it as success iff a snapshot marked
+    with THIS run_id ends up at ``path``, so out-of-process readers
+    concurrent with a single writer never fail the writer's commit."""
+    old = None
+    if os.path.exists(path):
+        old = f"{path}.old-{run_id}"
+        try:
+            os.rename(path, old)
+        except (FileNotFoundError, NotADirectoryError):
+            old = None  # a reader's recovery gc'd/moved it under us
+    try:
+        os.rename(tmp, path)
+    except FileNotFoundError:
+        # A reader promoted our marked tmp.  If that happened BEFORE our
+        # path->old rename, our own promoted snapshot now sits at `old`
+        # — put it back.  Either way the swap only counts as done when
+        # `path` carries this run's marker.
+        if (
+            old is not None
+            and not os.path.exists(path)
+            and _marked_with(old, run_id)
+        ):
+            os.rename(old, path)
+            old = None
+        if not _marked_with(path, run_id):
+            # genuine failure: un-displace whatever snapshot we renamed
+            # aside so the stage is left exactly as we found it
+            if old is not None and not os.path.exists(path):
+                os.rename(old, path)
+                old = None
+            raise
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def is_committed(root: str, stage: str) -> bool:
@@ -232,13 +300,7 @@ def commit_stage(
         df.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump(info, fh)
-    old = None
-    if os.path.exists(path):
-        old = f"{path}.old-{run_id}"
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if old is not None:
-        shutil.rmtree(old)
+    _swap_into_place(path, tmp, run_id)
     spark = df.sparkSession
     spark.catalog.refreshByPath(path)
     if bucket_by:
@@ -309,7 +371,12 @@ def upsert_stage(
     info = marker_info(root, stage) or {}
     if info.get("bucket"):
         # a bucketed stage stays bucketed across merges — the rewrite
-        # re-clusters, so the catalog metadata never lies about files
+        # re-clusters, so the catalog metadata never lies about files.
+        # The DDL is refreshed from the MERGED frame: a schema-evolving
+        # upsert (unionByName allowMissingColumns) widens the files, and
+        # a stale DDL would make register_stage_table silently drop the
+        # new columns on every subsequent read.
+        info["bucket"] = dict(info["bucket"], ddl=_schema_ddl(merged))
         _write_bucketed(merged, tmp, root, stage, run_id, info["bucket"])
     else:
         merged.write.mode("overwrite").parquet(tmp)
@@ -318,10 +385,7 @@ def upsert_stage(
     info.update({"upserts": upserts})
     with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump(info, fh)
-    old = f"{path}.old-{run_id}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_into_place(path, tmp, run_id)
     # drop stale file listings cached for the swapped path
     spark.catalog.refreshByPath(path)
     if info.get("bucket"):

@@ -187,6 +187,12 @@ def test_ivf_dim_agnostic_and_loud_on_mismatch(spark):
     )
     with pytest.raises(Exception, match="embedding length"):
         ivf_train(bad, n_lists=2).collect()
+    # seeds are validated eagerly, so even iters=0 — where the guarded
+    # corpus scan never evaluates — fails loudly (round-4 advice item 3)
+    with pytest.raises(ValueError, match="seed embedding length"):
+        ivf_train(bad, n_lists=2, iters=0)
+    with pytest.raises(ValueError, match="seed embedding length"):
+        ivf_train(bad, n_lists=2, dim=16)
 
 
 def test_ann_ivf_recall_at_scale(spark):

@@ -114,3 +114,90 @@ def test_admin_cli_list_remove_confirm_recover(spark, work_dir, capsys):
     assert stage_store.is_committed(root, "pages")
 
     shutil.rmtree(root)
+
+
+def test_writer_tolerates_reader_promoted_tmp(spark, work_dir):
+    """A reader's recover_stage racing the writer's swap window can
+    promote the writer's marked tmp itself; the writer's own renames
+    then hit FileNotFoundError.  _swap_into_place treats that as
+    success iff the snapshot at path carries THIS run's marker — so a
+    reader concurrent with a single out-of-process writer never fails
+    the writer's commit (round-4 advice item 2)."""
+    root = f"{work_dir}/race1"
+    os.makedirs(root)
+    # State after the race: reader already promoted the marked tmp to
+    # path; the writer still holds tmp's (now-dangling) name.
+    _mk_stage(spark, root, "s", [(2, "new")], run_id="new")
+    stage_store._swap_into_place(
+        os.path.join(root, "s"), os.path.join(root, "s.tmp-new"), "new"
+    )
+    got = stage_store.read_stage(spark, root, "s").collect()
+    assert [(r.k, r.v) for r in got] == [(2, "new")]
+
+    # Same shape but the snapshot at path belongs to ANOTHER run: the
+    # missing tmp is a genuine error, not a healed race -> must raise.
+    root2 = f"{work_dir}/race2"
+    os.makedirs(root2)
+    _mk_stage(spark, root2, "s", [(1, "other")], run_id="someone_else")
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        stage_store._swap_into_place(
+            os.path.join(root2, "s"), os.path.join(root2, "s.tmp-mine"), "mine"
+        )
+    # and the foreign snapshot must survive the failed swap intact
+    assert stage_store._marked_with(os.path.join(root2, "s"), "someone_else")
+
+
+def test_bucketed_retry_after_crash_before_marker(spark, work_dir):
+    """A crash between the bucketed CTAS and the marker write leaves a
+    non-empty unmarked tmp; a retry with the same run_id must clobber
+    it (saveAsTable refuses non-empty locations by default — round-4
+    advice item 4)."""
+    root = f"{work_dir}/retry"
+    os.makedirs(root)
+    leftover = os.path.join(root, "s.tmp-r1")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "part-junk.parquet"), "w") as fh:
+        fh.write("half-written garbage")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = stage_store.commit_stage(
+        df, root, "s", "r1", bucket_by=["k"], n_buckets=4
+    )
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+    assert stage_store.marker_info(root, "s")["bucket"]["keys"] == ["k"]
+
+
+def test_bucketed_upsert_schema_evolution_refreshes_ddl(spark, work_dir):
+    """A schema-evolving upsert on a bucketed stage widens the parquet
+    files via unionByName(allowMissingColumns); the marker's DDL must
+    follow, or register_stage_table re-creates the catalog table from
+    the stale column list and silently drops the new columns on every
+    later read (round-4 advice item 1 — medium)."""
+    root = f"{work_dir}/evolve"
+    os.makedirs(root)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    stage_store.commit_stage(base, root, "s", "r1", bucket_by=["k"], n_buckets=4)
+
+    widened = spark.createDataFrame([(2, "b2", 9.5)], "k long, v string, w double")
+    up = stage_store.upsert_stage(widened, root, "s", "r2", ["k"])
+    assert "w" in up.columns
+    ddl = stage_store.marker_info(root, "s")["bucket"]["ddl"]
+    assert "`w` double" in ddl
+
+    # a FRESH registration (new session would do the same) sees `w`
+    spark.sql(f"DROP TABLE IF EXISTS `{stage_store._table_name(root, 's')}`")
+    again = stage_store.read_stage(spark, root, "s")
+    rows = {r.k: (r.v, r.w) for r in again.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 9.5)}
+    # and the re-registered table still plans exchange-free on the key
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+        aplan = (
+            again.groupBy("k").agg(F.count("*").alias("n"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
