@@ -85,6 +85,12 @@ def run_pipeline(
     run_id = run_id or uuid.uuid4().hex[:12]
     out: dict[str, DataFrame] = {}
 
+    # GC swap leftovers up front: a prior run that died after its swap
+    # landed but before rmtree leaves `.old-*` dirs that otherwise
+    # accumulate forever in incremental deployments (recovery only GCs
+    # when it actually has something to heal).
+    stage_store.gc_all(out_root)
+
     if resume and stage_store.is_committed(out_root, "pages"):
         pages = stage_store.read_stage(spark, out_root, "pages")
     else:
@@ -202,6 +208,7 @@ def run_incremental(
     run_id = run_id or uuid.uuid4().hex[:12]
     if not stage_store.is_committed(out_root, "pages"):
         return run_pipeline(spark, input_df, out_root, resume=True, run_id=run_id)
+    stage_store.gc_all(out_root)  # same leftover hygiene as run_pipeline
 
     committed = stage_store.read_stage(spark, out_root, "pages")
     # MUST be the exact expression extract_stage stamps (extract.py:94,

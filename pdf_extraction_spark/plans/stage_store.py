@@ -247,6 +247,17 @@ def gc_stage(root: str, stage: str) -> list[str]:
     return removed
 
 
+def gc_all(root: str) -> list[str]:
+    """gc_stage across every committed stage under ``root`` — run at
+    pipeline start so `.old-*` leftovers from runs that died between
+    swap and rmtree cannot accumulate across incremental deployments.
+    Cheap when clean: one listdir per stage."""
+    removed = []
+    for s in stages(root):
+        removed.extend(gc_stage(root, s))
+    return removed
+
+
 def stages(root: str) -> list[str]:
     """Stage names under ``root`` (directories that are not tmp/old
     swap leftovers), sorted."""

@@ -116,3 +116,80 @@ def test_resume_skips_committed_stages(spark, work_dir, oracle_out):
     assert stage_store.marker_info(root, "chunks")["run_id"] == "run-two"
     got = {r["url"]: r["extracted_text"] for r in out["doc_text"].collect()}
     assert all(got.get(u, "") == v["text"] for u, v in oracle_out.items())
+
+
+def test_resume_after_midswap_kill_reprocesses_nothing(
+    spark, work_dir, oracle_out, monkeypatch
+):
+    """Round-4 verdict item 5: kill a REAL pipeline run between the two
+    renames of commit_stage's swap (path->old done, tmp->path not) and
+    assert the resume run heals the stage from the marked tmp without
+    recomputing a single url — the fully-written-and-marked snapshot IS
+    the commit."""
+    import os as _os
+
+    root = f"{work_dir}/midswap"
+    inp = corpus_df(spark, N_DOCS)
+    run_pipeline(spark, inp, root, resume=False, run_id="run-one")
+
+    # second run recomputes page_text; inject the kill mid-swap: AFTER
+    # the committed snapshot is renamed aside, BEFORE tmp lands
+    real_rename = _os.rename
+    target_old = _os.path.join(root, "page_text.old-run-two")
+
+    def killer(src, dst):
+        real_rename(src, dst)
+        if dst == target_old:
+            raise RuntimeError("injected mid-swap kill")
+
+    monkeypatch.setattr(stage_store.os, "rename", killer)
+    with pytest.raises(RuntimeError, match="mid-swap kill"):
+        run_pipeline(spark, inp, root, resume=False, run_id="run-two")
+    monkeypatch.setattr(stage_store.os, "rename", real_rename)
+
+    # crash state: stage path missing, marked tmp + rolled-aside old
+    assert not _os.path.exists(_os.path.join(root, "page_text"))
+    assert _os.path.exists(_os.path.join(root, "page_text.tmp-run-two"))
+
+    # resume must touch ZERO urls: every stage function would recompute
+    # through these entry points — make any call fail the test
+    from pdf_extraction_spark.plans import pipeline as pl
+
+    def _no_recompute(name):
+        def boom(*a, **k):
+            raise AssertionError(f"resume recomputed stage via {name}")
+        return boom
+
+    for fn in ("extract_stage", "ocr_stage", "merge_ocr",
+               "assemble_documents", "chunk_stage", "_strip"):
+        monkeypatch.setattr(pl, fn, _no_recompute(fn))
+
+    out = run_pipeline(spark, inp, root, resume=True, run_id="run-three")
+    # the killed run's fully-written snapshot took effect...
+    assert stage_store.marker_info(root, "page_text")["run_id"] == "run-two"
+    # ...swap leftovers were healed+GC'd...
+    assert not _os.path.exists(_os.path.join(root, "page_text.tmp-run-two"))
+    assert not _os.path.exists(_os.path.join(root, "page_text.old-run-two"))
+    # ...and the output is still byte-identical to the oracle
+    got = {r["url"]: r["extracted_text"] for r in out["doc_text"].collect()}
+    assert all(got.get(u, "") == v["text"] for u, v in oracle_out.items())
+
+
+def test_pipeline_start_gcs_old_leftovers(spark, work_dir):
+    """Round-4 verdict item 7: a run that died after its swap landed
+    but before rmtree leaves `.old-*` dirs; the next pipeline run GCs
+    them up front instead of letting them accumulate."""
+    import os as _os
+
+    root = f"{work_dir}/gcstart"
+    inp = corpus_df(spark, 20)
+    run_pipeline(spark, inp, root, resume=False, run_id="gc-one")
+    # simulate the crash-after-swap leftover
+    leftover = _os.path.join(root, "pages.old-dead")
+    _os.makedirs(leftover)
+    with open(_os.path.join(leftover, stage_store.MARKER), "w") as fh:
+        fh.write("{}")
+
+    run_pipeline(spark, inp, root, resume=True, run_id="gc-two")
+    assert not _os.path.exists(leftover)
+    assert stage_store.is_committed(root, "pages")
