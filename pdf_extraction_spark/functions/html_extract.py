@@ -42,6 +42,7 @@ class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
+        self._open: dict[str, int] = {}  # open-tag counts (O(1) endtag membership)
         self.drop_depth = 0          # inside script/nav/footer/... subtree
         self.head_depth = 0
         self.link_depth = 0
@@ -78,7 +79,8 @@ class _Extractor(HTMLParser):
 
     # -- tag events ----------------------------------------------------------
     def handle_starttag(self, tag: str, attrs: list) -> None:
-        a = dict(attrs)
+        # attrs are only consulted for img/td/th — build the dict
+        # lazily there, not for every one of the page's tags
         if tag in _BLOCK_TAGS and not self.table_depth:
             self._flush()
             self.block_tag = tag
@@ -89,6 +91,7 @@ class _Extractor(HTMLParser):
         if tag == "a":
             self.link_depth += 1
         if tag == "img" and not self.drop_depth and not self.head_depth:
+            a = dict(attrs)
             alt = (a.get("alt") or "").strip()
             self.figures.append({"caption": alt or None, "description": alt})
             self.lines.append({"kind": "image"})
@@ -102,6 +105,7 @@ class _Extractor(HTMLParser):
                 if tag == "tr":
                     self._row = []
                 elif tag in ("td", "th"):
+                    a = dict(attrs)
                     self._cell = []
                     self._cell_meta = {
                         "header": tag == "th",
@@ -109,24 +113,29 @@ class _Extractor(HTMLParser):
                         "col_span": int(a.get("colspan", 1) or 1),
                     }
         self.stack.append(tag)
+        self._open[tag] = self._open.get(tag, 0) + 1
 
     def handle_startendtag(self, tag: str, attrs: list) -> None:
         self.handle_starttag(tag, attrs)
         self.handle_endtag(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in self.stack:
-            # pop to the matching open tag (tolerates unclosed children)
-            while self.stack and self.stack[-1] != tag:
-                self.stack.pop()
-            if self.stack:
-                self.stack.pop()
-        if tag == "head":
-            self.head_depth = max(0, self.head_depth - 1)
-        if tag in HTML_DROP_TAGS:
-            self.drop_depth = max(0, self.drop_depth - 1)
-        if tag == "a":
-            self.link_depth = max(0, self.link_depth - 1)
+        if self._open.get(tag):
+            # pop to the matching open tag (tolerates unclosed children);
+            # the count dict makes the membership test O(1) on the
+            # endtag-heavy hot path
+            stack, open_ = self.stack, self._open
+            while stack:
+                t = stack.pop()
+                open_[t] -= 1
+                if t == tag:
+                    break
+        if tag == "head" and self.head_depth:
+            self.head_depth -= 1
+        if tag in HTML_DROP_TAGS and self.drop_depth:
+            self.drop_depth -= 1
+        if tag == "a" and self.link_depth:
+            self.link_depth -= 1
         if not self.drop_depth:
             if self.table_depth and tag in ("td", "th") and self._cell is not None:
                 text = " ".join("".join(self._cell).split())
