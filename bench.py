@@ -130,8 +130,14 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="sf0.01 quick mode")
     ap.add_argument("--extract-only", action="store_true",
                     help="run only the extraction pipeline; print JSON")
-    ap.add_argument("--stage", choices=("full", "extract"), default="full",
-                    help="which job --extract-only times")
+    ap.add_argument("--stage", choices=("full", "extract"), default=None,
+                    help="which job to time: 'full' = committed pipeline "
+                         "(default for the driver/default mode), 'extract' = "
+                         "the map-parallel extraction stage alone (default "
+                         "for --scaling — the protocol workload every "
+                         "recorded session 9-12 used; round-5 sessions 13-14 "
+                         "were accidentally launched at 'full', which halved "
+                         "absolute docs/s and was misread as host noise)")
     ap.add_argument("--scaling", action="store_true",
                     help="two-parallelism scaling run -> BENCH/BASELINE.md")
     args = ap.parse_args()
@@ -141,7 +147,12 @@ def main() -> int:
         args.extract_docs = args.extract_docs or 200
 
     if args.scaling:
+        # protocol default: the extraction stage alone (what the north
+        # rule's docs/sec criterion measures and what every session in
+        # BENCH/scaling_sessions.json up to 12 ran)
+        args.stage = args.stage or "extract"
         return run_scaling(args)
+    args.stage = args.stage or "full"
 
     sf = sf_of(args.sf_dir)
     # 80000*sf (8000 docs at sf0.1): at the old 2000 docs the committed
@@ -426,6 +437,7 @@ def run_scaling(args) -> int:
                     "peak_local4": max(thr4), "peak_local16": max(thr16)},
         "sf": sf_of(args.sf_dir),
         "extract_docs": n_docs,
+        "stage": args.stage,
         "runs": runs,
         "pinned": have_taskset,
         "loadavg_before_pairs": loads,

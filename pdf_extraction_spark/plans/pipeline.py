@@ -76,11 +76,19 @@ def run_pipeline(
     resume: bool = True,
     fail_after: str | None = None,
     run_id: str | None = None,
+    bucketed_stages: tuple[str, ...] = ("chunks",),
 ) -> dict[str, DataFrame]:
     """Run (or resume) the pipeline; returns the stage DataFrames.
 
     ``fail_after`` kills the run after the named stage commits — the
     hook the resume test uses (SURVEY.md §5 item 4).
+
+    ``bucketed_stages`` — which stages commit bucketed by url.  The
+    default buckets only ``chunks`` (its downstream joins/aggs are all
+    url-keyed); the page-granularity stages stay flat per the measured
+    A/B in BENCH/STAGE_BUCKETING.md (tools/bench_stage_bucketing.py):
+    their single-pass consumers key on host (strip) or are page-local
+    (ocr), so the commit-time bucket sort buys nothing it doesn't cost.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     out: dict[str, DataFrame] = {}
@@ -95,7 +103,8 @@ def run_pipeline(
         pages = stage_store.read_stage(spark, out_root, "pages")
     else:
         pages = stage_store.commit_stage(
-            extract_stage(input_df), out_root, "pages", run_id
+            extract_stage(input_df), out_root, "pages", run_id,
+            bucket_by=["url"] if "pages" in bucketed_stages else None,
         )
         stage_store.commit_stage(
             _metrics_df(pages, run_id), out_root, "metrics", run_id
@@ -110,7 +119,8 @@ def run_pipeline(
     else:
         stripped = _strip(pages)
         page_text = stage_store.commit_stage(
-            merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id
+            merge_ocr(stripped, ocr_stage(pages)), out_root, "page_text", run_id,
+            bucket_by=["url"] if "page_text" in bucketed_stages else None,
         )
     out["page_text"] = page_text
     if fail_after == "page_text":
@@ -120,7 +130,8 @@ def run_pipeline(
         doc_text = stage_store.read_stage(spark, out_root, "doc_text")
     else:
         doc_text = stage_store.commit_stage(
-            assemble_documents(page_text), out_root, "doc_text", run_id
+            assemble_documents(page_text), out_root, "doc_text", run_id,
+            bucket_by=["url"] if "doc_text" in bucketed_stages else None,
         )
     out["doc_text"] = doc_text
     if fail_after == "doc_text":
@@ -131,7 +142,7 @@ def run_pipeline(
     else:
         chunks = stage_store.commit_stage(
             chunk_stage(doc_text), out_root, "chunks", run_id,
-            bucket_by=["url"],
+            bucket_by=["url"] if "chunks" in bucketed_stages else None,
         )
     out["chunks"] = chunks
     return out
