@@ -384,12 +384,26 @@ def run_scaling(args) -> int:
     # round-3 pre-registered protocol, shared with the per-query suite).
     # Second pre-registered rule (round 4): the gate only sees the pair
     # START, but co-tenant bursts land mid-pair too.  A pair whose
-    # loadavg AT END exceeds 10 (i.e. a burst arrived while it ran) is
-    # marked contaminated and re-run ONCE after a fresh quiet window.
-    # The trigger is the objective load signal alone — a contaminated
-    # pair is replaced even if it happened to measure high — and every
-    # discarded result is recorded alongside the replacement.
+    # loadavg AT END signals a burst is marked contaminated and re-run
+    # ONCE after a fresh quiet window.  The trigger is the objective
+    # load signal alone — a contaminated pair is replaced even if it
+    # happened to measure high — and every discarded result is recorded
+    # alongside the replacement.
+    #
+    # Round-5 revision (v3, pre-registered AFTER session 15 started and
+    # applying only to later sessions): the round-4 rule read loadavg
+    # immediately at pair end, where the pair's OWN final leg still
+    # dominates the 1-minute average — a 16-core-last pair leaves
+    # loadavg ≈ 14-16 by itself, so pairs 1/3/5 of every ABBA session
+    # self-triggered the retry and discarded valid measurements
+    # (sessions 13-15; all discards conservative, none favorable).  v3
+    # sleeps COOLDOWN_S after the pair so own load decays (1-min
+    # loadavg e-folds in ~60s: 14 -> ~3 after 90s idle), then applies
+    # the same bar as the start gate: cooled loadavg >= 5 = a co-tenant
+    # burst overlapped (or immediately followed) the pair -> one retry.
     contaminated = []
+    COOLDOWN_S = 90.0
+    LOAD_BAR_END = 5.0
 
     def run_pair(i: int) -> tuple[dict, dict]:
         if i % 2 == 0:
@@ -404,15 +418,16 @@ def run_scaling(args) -> int:
         log(f"== scaling pair {i + 1}/{runs} (pinned: {have_taskset}) ==")
         loads.append(wait_quiet())
         a, b = run_pair(i)
+        time.sleep(COOLDOWN_S)  # let the pair's own load decay first
         with open("/proc/loadavg") as fh:
             load_end = float(fh.read().split()[0])
-        if load_end > 10.0:
+        if load_end >= LOAD_BAR_END:
             eff_bad = round((b["docs_per_sec"] / a["docs_per_sec"]) / 4.0, 3)
             contaminated.append(
                 {"pair": i + 1, "eff_discarded": eff_bad,
-                 "loadavg_end": load_end}
+                 "loadavg_end_cooled": load_end}
             )
-            log(f"   pair contaminated mid-run (loadavg_end {load_end}, "
+            log(f"   pair contaminated mid-run (cooled loadavg_end {load_end}, "
                 f"eff {eff_bad} discarded) — one retry after quiet window")
             loads[-1] = wait_quiet()
             a, b = run_pair(i)
@@ -442,11 +457,13 @@ def run_scaling(args) -> int:
         "pinned": have_taskset,
         "loadavg_before_pairs": loads,
         "contaminated_pairs": contaminated,
-        "protocol": "interleaved ABBA pairs, peak-of-3 warm runs per level, "
-                    "median per-pair efficiency, pre-registered "
+        "protocol": "v3: interleaved ABBA pairs, peak-of-3 warm runs per "
+                    "level, median per-pair efficiency, pre-registered "
                     "loadavg<5 quiet-window gate before each pair, "
-                    "load-triggered single retry of pairs whose "
-                    "loadavg_end > 10 (discarded eff recorded)",
+                    "load-triggered single retry of pairs whose loadavg "
+                    "after a 90s post-pair cooldown is >= 5 (discarded "
+                    "eff recorded; the cooldown stops the pair's own "
+                    "final leg from self-triggering the rule)",
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling.json", "w", encoding="utf-8") as fh:
