@@ -51,9 +51,12 @@ def _expand_glyphs(runs: list):
     texts = [r[3] for r in runs]
     lens = np.array([len(s) for s in texts], dtype=np.int64)
     total = int(lens.sum())
-    xs = np.repeat(np.array([float(r[0]) for r in runs]), lens)
-    ys = np.repeat(np.array([float(r[1]) for r in runs]), lens)
-    sizes = np.repeat(np.array([float(r[2]) for r in runs]), lens)
+    # one (n_runs, 3) coordinate array instead of three per-run
+    # listcomps — same floats (np.asarray coerces exactly like float())
+    coords = np.array([r[:3] for r in runs], dtype=np.float64)
+    xs = np.repeat(coords[:, 0], lens)
+    ys = np.repeat(coords[:, 1], lens)
+    sizes = np.repeat(coords[:, 2], lens)
     advs = sizes * CHAR_ADVANCE
     starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
     within = np.arange(total, dtype=np.float64) - starts
@@ -83,15 +86,19 @@ def _lines_from_glyphs(chars, l, r, b, t, size):
         order = np.argsort(l, kind="stable")
         lo, ro, so = l[order], r[order], size[order]
         gap = (lo[1:] - ro[:-1]) > WORD_GAP_FACTOR * so[:-1]
-        parts = []
-        for i, ch in enumerate(chars[order].tolist()):
-            if i and gap[i - 1]:
-                parts.append(" ")
-            parts.append(ch)
+        # same codepoint-interleave trick as the multi-line path: the
+        # old per-char loop appended " " before gap glyphs and skipped
+        # NUL glyphs (U1 NUL .tolist() yields ''), which is exactly the
+        # masked zero-word decode
+        buf = np.empty(2 * n, dtype=np.int32)
+        buf[0::2] = 0
+        buf[2::2] = np.where(gap, 0x20, 0)
+        buf[1::2] = chars[order].view(np.int32)
+        buf = buf[buf != 0]
         return [
             {
                 "kind": "line",
-                "text": "".join(parts),
+                "text": buf.tobytes().decode("utf-32-le"),
                 "l": float(lo.min()),
                 "r": float(ro.max()),
                 "b": float(b.min()),
