@@ -401,17 +401,32 @@ def ann_lsh_topk(
     ~n_probe/2^n_planes of the corpus and recall@k climbs accordingly
     (bounds asserted at sf0.1 in tests/test_retrieval2.py).  The
     probe-bucket set is one broadcast row; the scan side is unchanged,
-    so the scale shape stays a bucket-pruned lookup."""
+    so the scale shape stays a bucket-pruned lookup.
+
+    ``n_probe`` <= 1 keeps the round-3 single-bucket shape exactly
+    (probe bucket reused from the shared ``with_b`` projection, string
+    equality on the candidate side): the r4 multi-probe refactor ran
+    the n_probe=1 path through ``array_contains`` on a recomputed
+    probe-bucket array and cost +46% at sf0.1 (pinned interleaved A/B,
+    BENCH/ANN_LSH_FORMS.md) for zero recall benefit."""
     with_b = ensure_parallelism(embeddings).withColumn(
         "bucket", bucket_col(vec_col, n_planes, dim)
     )
-    probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(
-        probe_buckets_col(vec_col, n_planes, dim, n_probe).alias("_pbs")
-    )
-    cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(
-        F.array_contains(F.col("_pbs"), F.col("bucket"))
-        & (F.col(id_col) != probe_id)
-    )
+    if n_probe <= 1:
+        probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(
+            F.col("bucket").alias("_pb")
+        )
+        cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(
+            (F.col("bucket") == F.col("_pb")) & (F.col(id_col) != probe_id)
+        )
+    else:
+        probe_bucket = with_b.filter(F.col(id_col) == probe_id).select(
+            probe_buckets_col(vec_col, n_planes, dim, n_probe).alias("_pbs")
+        )
+        cand = with_b.crossJoin(F.broadcast(probe_bucket)).filter(
+            F.array_contains(F.col("_pbs"), F.col("bucket"))
+            & (F.col(id_col) != probe_id)
+        )
     probe = embeddings.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_probe")
     )
