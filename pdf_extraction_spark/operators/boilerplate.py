@@ -104,9 +104,15 @@ def strip_stage(
       scale host cardinality is 10^7-10^8; a broadcast of every host's
       pattern array does not fit (round-1 defect).
     * ``"broadcast"`` — explicit broadcast, shuffle-free for the pages
-      side.  Correct only when the host count is bounded; the pipeline
-      opts in after MEASURING pattern-side cardinality against
-      BROADCAST_HOST_CAP (size-gated, like extract's byte gate).
+      side.  Correct only when the host count is bounded.
+    * ``"auto"`` — no hint; AQE converts the join to broadcast-hash at
+      runtime iff the BUILT pattern side's actual shuffle bytes fit
+      under spark.sql.autoBroadcastJoinThreshold (64 MB, session.py).
+      This replaces the pipeline's former driver-side
+      ``distinct().count()`` host-cardinality gate — a whole extra
+      job (~1s at 8k docs, a full pages-scan at 10^12) — with the
+      runtime statistics AQE already collects, and decides on SIZE
+      (what broadcast actually costs) rather than a cardinality proxy.
 
     OCR-flagged pages are excluded here; the OCR stage emits their rows
     and the pipeline unions the two disjoint sets (no merge join)."""
@@ -121,6 +127,8 @@ def strip_stage(
     )
     if join_strategy == "broadcast":
         joined = base.join(F.broadcast(host_patterns), "host", "left")
+    elif join_strategy == "auto":
+        joined = base.join(host_patterns, "host", "left")
     else:
         joined = base.join(host_patterns.hint("shuffle_hash"), "host", "left")
 

@@ -21,7 +21,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..constants import BROADCAST_HOST_CAP
 from ..operators.boilerplate import boilerplate_patterns, strip_stage
 from ..operators.chunk import assemble_documents, chunk_stage
 from ..operators.extract import extract_stage
@@ -32,14 +31,16 @@ STAGES = ["pages", "page_text", "doc_text", "chunks", "metrics"]
 
 
 def _strip(pages: DataFrame) -> DataFrame:
-    """Size-gated strip: measure the pattern-side host cardinality and
-    broadcast only when it fits (mirrors extract's byte gate; the
-    measurement is one tiny aggregate job against the committed pages
-    snapshot, negligible next to the layout stage)."""
-    patterns = boilerplate_patterns(pages)
-    n_hosts = patterns.select("host").distinct().count()
-    strategy = "broadcast" if n_hosts <= BROADCAST_HOST_CAP else "shuffle"
-    return strip_stage(pages, patterns, join_strategy=strategy)
+    """AQE-gated strip: the pattern side attaches with no join hint and
+    adaptive execution converts to broadcast-hash at runtime iff the
+    built (host, pats) side's ACTUAL shuffle bytes fit under
+    autoBroadcastJoinThreshold.  Replaces the former driver-side
+    ``distinct().count()`` cardinality gate — one whole extra job
+    (~1s of the 8k-doc pipeline wall, a full pages scan at 10^12
+    rows) — with the runtime size statistics AQE already collects
+    (decision measured in tests/test_plans.py and the stage profile in
+    NOTES; results are join-semantics-identical either way)."""
+    return strip_stage(pages, boilerplate_patterns(pages), join_strategy="auto")
 
 
 def _metrics_df(pages: DataFrame, run_id: str) -> DataFrame:

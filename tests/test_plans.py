@@ -185,6 +185,30 @@ def test_strip_default_does_not_broadcast_patterns(spark, sf):
     assert "BroadcastHashJoin" in opted
 
 
+def test_strip_auto_converts_to_broadcast_at_runtime(spark):
+    """The pipeline's strip uses join_strategy='auto' (no hint): AQE
+    must convert the pattern join to broadcast-hash at runtime from the
+    built side's ACTUAL shuffle bytes (this replaced the driver-side
+    distinct-host count job — a full extra pages scan), and the rows
+    must match the explicit shuffle form exactly."""
+    from pdf_extraction_spark.operators.extract import extract_stage
+    from pdf_extraction_spark.sources.corpus import corpus_df
+
+    pages = extract_stage(corpus_df(spark, 60)).cache()
+    try:
+        auto = strip_stage(pages, join_strategy="auto")
+        auto.write.mode("overwrite").format("noop").save()
+        ep = plan_of(auto)
+        assert "AdaptiveSparkPlan" in ep
+        assert "BroadcastHashJoin" in ep and "SortMergeJoin" not in ep
+        shuffled = strip_stage(pages, join_strategy="shuffle")
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+    finally:
+        pages.unpersist()
+
+
 def test_shingle_array_equals_window_form_fuzz(spark):
     """The codegen regexp shingle construction is exactly the sliding
     window over split-minus-empties tokens: pinned against the round-1
