@@ -297,3 +297,43 @@ def test_spark_submit_pyfiles_e2e(tmp_path):
     got = dict(zip(got_tbl.column("url").to_pylist(),
                    got_tbl.column("extracted_text").to_pylist()))
     assert all(got.get(u, "") == v["text"] for u, v in exp.items())
+
+    # second submit, FRESH JVM, --vectors: the committed markers must be
+    # honored across processes (resume recomputes zero stages — the
+    # pages marker keeps run 1's run_id) and the vector build (bucketed
+    # typed_chunks/chunk_vectors commits via CTAS) must work on the
+    # vanilla submit session, not just the tuned session.py one
+    run1_id = json.loads((out_root / "pages" / MARKER).read_text())["run_id"]
+    res2 = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--driver-memory", "4g",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(repo, "jobs", "run_extraction.py"),
+            "--input", str(inp),
+            "--out", str(out_root),
+            "--vectors",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=420,
+    )
+    assert res2.returncode == 0, res2.stderr[-4000:]
+    assert json.loads(
+        (out_root / "pages" / MARKER).read_text()
+    )["run_id"] == run1_id, "resume under spark-submit recomputed 'pages'"
+    for stage in ("typed_chunks", "chunk_vectors"):
+        marker = out_root / stage / MARKER
+        assert marker.exists(), f"vector stage {stage} not committed"
+        info = json.loads(marker.read_text())
+        assert info.get("bucket", {}).get("keys") == ["url"]
+    vec_counts = {}
+    for line in res2.stdout.splitlines():
+        name, _, val = line.partition(": ")
+        head = val.split()[0] if val.split() else ""
+        if name in ("typed_chunks", "chunk_vectors") and head.isdigit():
+            vec_counts[name] = int(head)
+    assert vec_counts.get("typed_chunks", 0) > 0, res2.stdout
+    assert vec_counts.get("chunk_vectors", 0) > 0
