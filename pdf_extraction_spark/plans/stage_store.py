@@ -19,6 +19,18 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 MARKER = "_COMMITTED"
+PARQUET_CODEC = "zstd"
+
+# Stage snapshots are text-heavy (page text, chunk text, JSON layout
+# artifacts).  Measured pinned A/B on the 8000-doc pages stage
+# (round 5, 3 write rounds + 5 read rounds each): zstd writes at the
+# same wall as snappy (5.99s vs 6.26s median — parquet ENCODING
+# dominates, not compression), lands 25% smaller (12.5 vs 16.7 MB),
+# and full-text + column-pruned reads are both slightly faster
+# (0.118/0.196s vs 0.150/0.225s).  At the 100 TB design point that is
+# 25% less stage storage and scan IO for free; explicit per-write (not
+# session conf) so the codec travels with the store — a vanilla
+# spark-submit session gets the same files.
 
 
 def _dir(root: str, stage: str) -> str:
@@ -61,6 +73,7 @@ def _write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
     (
         df.write.mode("overwrite")
+        .option("compression", PARQUET_CODEC)
         .bucketBy(bucket["n"], keys[0], *keys[1:])
         .sortBy(keys[0], *keys[1:])
         .option("path", tmp)
@@ -308,7 +321,7 @@ def commit_stage(
         }
         _write_bucketed(df, tmp, root, stage, run_id, info["bucket"])
     else:
-        df.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(tmp)
     with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump(info, fh)
     _swap_into_place(path, tmp, run_id)
@@ -331,7 +344,7 @@ def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
             f"append_stage: stage '{stage}' is bucketed; append would "
             "violate its clustering — use upsert_stage"
         )
-    df.write.mode("append").parquet(path)
+    df.write.mode("append").option("compression", PARQUET_CODEC).parquet(path)
     info = marker_info(root, stage) or {}
     appends = info.get("appends", [])
     appends.append({"run_id": run_id, "committed_at": time.time()})
@@ -390,7 +403,7 @@ def upsert_stage(
         info["bucket"] = dict(info["bucket"], ddl=_schema_ddl(merged))
         _write_bucketed(merged, tmp, root, stage, run_id, info["bucket"])
     else:
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(tmp)
     upserts = info.get("upserts", [])
     upserts.append({"run_id": run_id, "committed_at": time.time()})
     info.update({"upserts": upserts})
