@@ -20,17 +20,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 MARKER = "_COMMITTED"
 PARQUET_CODEC = "zstd"
+ZSTD_LEVEL = "1"
 
 # Stage snapshots are text-heavy (page text, chunk text, JSON layout
-# artifacts).  Measured pinned A/B on the 8000-doc pages stage
-# (round 5, 3 write rounds + 5 read rounds each): zstd writes at the
-# same wall as snappy (5.99s vs 6.26s median — parquet ENCODING
-# dominates, not compression), lands 25% smaller (12.5 vs 16.7 MB),
-# and full-text + column-pruned reads are both slightly faster
-# (0.118/0.196s vs 0.150/0.225s).  At the 100 TB design point that is
-# 25% less stage storage and scan IO for free; explicit per-write (not
-# session conf) so the codec travels with the store — a vanilla
-# spark-submit session gets the same files.
+# artifacts).  Codec chosen by interleaved committed-pipeline A/B at
+# 8000 docs (round 5, quiet-window, 3 orderings): zstd at parquet-java's
+# DEFAULT level 3 pays ~3% pipeline wall over snappy (12.15 vs 11.35s
+# median) for 29% smaller snapshots, but at LEVEL 1 it beats snappy on
+# both axes — 10.90s median AND 31.6 vs 41.5 MB total stage bytes
+# (24% smaller).  At the 100 TB design point that is ~25% less stage
+# storage and scan IO at no wall cost.  The codec is an explicit
+# per-write option (travels with the store — a vanilla spark-submit
+# session writes the same files); the level is a hadoop conf
+# (parquet-java has no per-write level option), set idempotently before
+# each write by _tune_codec below.
+
+
+def _tune_codec(df: DataFrame) -> None:
+    try:
+        df.sparkSession.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.compression.codec.zstd.level", ZSTD_LEVEL
+        )
+    except Exception:
+        pass  # private-API bridge unavailable: level 3 files, same data
 
 
 def _dir(root: str, stage: str) -> str:
@@ -66,6 +78,7 @@ def _write_bucketed(
     # the unbucketed overwrite-parquet path, saveAsTable refuses a
     # non-empty location — clear leftovers so a same-run_id retry works.
     shutil.rmtree(tmp, ignore_errors=True)
+    _tune_codec(df)
     spark = df.sparkSession
     keys = bucket["keys"]
     safe_run = re.sub(r"[^A-Za-z0-9_]", "_", run_id)
@@ -321,6 +334,7 @@ def commit_stage(
         }
         _write_bucketed(df, tmp, root, stage, run_id, info["bucket"])
     else:
+        _tune_codec(df)
         df.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(tmp)
     with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
         json.dump(info, fh)
@@ -344,6 +358,7 @@ def append_stage(df: DataFrame, root: str, stage: str, run_id: str) -> DataFrame
             f"append_stage: stage '{stage}' is bucketed; append would "
             "violate its clustering — use upsert_stage"
         )
+    _tune_codec(df)
     df.write.mode("append").option("compression", PARQUET_CODEC).parquet(path)
     info = marker_info(root, stage) or {}
     appends = info.get("appends", [])
@@ -403,6 +418,7 @@ def upsert_stage(
         info["bucket"] = dict(info["bucket"], ddl=_schema_ddl(merged))
         _write_bucketed(merged, tmp, root, stage, run_id, info["bucket"])
     else:
+        _tune_codec(merged)
         merged.write.mode("overwrite").option("compression", PARQUET_CODEC).parquet(tmp)
     upserts = info.get("upserts", [])
     upserts.append({"run_id": run_id, "committed_at": time.time()})
