@@ -23,13 +23,16 @@ PARQUET_CODEC = "zstd"
 ZSTD_LEVEL = "1"
 
 # Stage snapshots are text-heavy (page text, chunk text, JSON layout
-# artifacts).  Codec chosen by interleaved committed-pipeline A/B at
-# 8000 docs (round 5, quiet-window, 3 orderings): zstd at parquet-java's
-# DEFAULT level 3 pays ~3% pipeline wall over snappy (12.15 vs 11.35s
-# median) for 29% smaller snapshots, but at LEVEL 1 it beats snappy on
-# both axes — 10.90s median AND 31.6 vs 41.5 MB total stage bytes
-# (24% smaller).  At the 100 TB design point that is ~25% less stage
-# storage and scan IO at no wall cost.  The codec is an explicit
+# artifacts).  Codec settled by three interleaved committed-pipeline
+# A/Bs at 8000 docs (round 5; tools/bench_codec_forms.py,
+# BENCH/CODEC_FORMS.md): pipeline-wall differences between snappy and
+# either zstd level are WITHIN host noise (per-form medians 10.2-12.2s
+# across sessions, overlapping), while sizes are deterministic — zstd
+# level 1 lands 31.6 MB vs snappy's 41.5 (24% smaller; level 3: 29.4).
+# At the 100 TB design point that is ~25% less stage storage and scan
+# IO at no measurable wall cost, so zstd it is; level 1 over the
+# default 3 because its walls showed the tightest spread and the extra
+# 7% size from level 3 is not worth its tail.  The codec is an explicit
 # per-write option (travels with the store — a vanilla spark-submit
 # session writes the same files); the level is a hadoop conf
 # (parquet-java has no per-write level option), set idempotently before
