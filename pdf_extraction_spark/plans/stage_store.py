@@ -137,7 +137,7 @@ def _marked_with(d: str, run_id: str) -> bool:
         return True
     return any(
         e.get("run_id") == run_id
-        for kind in ("upserts", "appends")
+        for kind in ("upserts", "appends", "compactions")
         for e in info.get(kind, [])
     )
 
@@ -434,6 +434,112 @@ def upsert_stage(
     if info.get("bucket"):
         return register_stage_table(spark, root, stage)
     return spark.read.parquet(path)
+
+
+def _part_files(path: str) -> list[str]:
+    """Data part files of a stage snapshot (parquet parts only — the
+    marker/_SUCCESS/.crc bookkeeping doesn't count toward compaction)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return [
+        os.path.join(path, n)
+        for n in names
+        if n.startswith("part-") and not n.endswith(".crc")
+    ]
+
+
+def compact_stage(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    run_id: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 8,
+) -> dict:
+    """Rewrite an over-fragmented committed stage into few large files
+    (Iceberg's ``rewrite_data_files`` binpack in production).
+
+    ``append_stage`` adds files on every increment and never rewrites,
+    so an append-heavy deployment accumulates small files until scans
+    pay per-file open/footer costs (the classic small-file problem at
+    100 TB).  ``upsert_stage`` rewrites the snapshot wholesale, so only
+    append paths need this.  Result-neutral: same rows, fewer files.
+
+    Trigger: a no-op unless the current part-file count exceeds
+    ``max(min_files, ceil(bytes / target_bytes))`` — the target count a
+    binpack to ``target_bytes``-sized files would produce.  Returns a
+    summary dict either way (``action``: 'noop' | 'compacted').
+
+    The rewrite reuses the commit discipline end-to-end: write to a
+    ``.tmp-<run_id>`` dir (coalesce — a narrow repartition, no shuffle —
+    for plain stages; a re-clustered bucketed write for bucketed ones),
+    mark it with the EXISTING marker history plus a ``compactions``
+    entry, then ``_swap_into_place`` — so a crash at any instant leaves
+    a marked snapshot on disk, exactly like commit/upsert."""
+    path = _dir(root, stage)
+    if not is_committed(root, stage):
+        raise ValueError(f"compact_stage: stage '{stage}' is not committed")
+    files = _part_files(path)
+    data_bytes = sum(os.path.getsize(f) for f in files)
+    target_count = max(min_files, -(-data_bytes // target_bytes))
+    summary = {
+        "stage": stage,
+        "files_before": len(files),
+        "bytes": data_bytes,
+        "target_files": target_count,
+    }
+    if len(files) <= target_count:
+        return dict(summary, action="noop")
+    info = marker_info(root, stage) or {}
+    tmp = f"{path}.tmp-{run_id}"
+    if info.get("bucket"):
+        # Zero-shuffle re-cluster: with autoBucketedScan pinned ON, the
+        # catalog table scans as one partition per bucket (all of a
+        # bucket's fragments combined), which already satisfies the
+        # repartition's HashPartitioning — the Exchange is elided and
+        # the CTAS emits one file per bucket.  Without the pin, Spark's
+        # auto-bucketed-scan rule sees "no operator needs the
+        # clustering", reverts to size-split file partitions AFTER the
+        # shuffle was already elided, and the write fans out to
+        # (tasks x buckets) files — re-fragmenting instead of packing.
+        bucket = info["bucket"]
+        conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            df = read_stage(spark, root, stage).repartition(
+                bucket["n"], *bucket["keys"]
+            )
+            _write_bucketed(df, tmp, root, stage, run_id, bucket)
+        finally:
+            spark.conf.set(conf_key, prev)
+    else:
+        df = read_stage(spark, root, stage)
+        _tune_codec(df)
+        df.coalesce(target_count).write.mode("overwrite").option(
+            "compression", PARQUET_CODEC
+        ).parquet(tmp)
+    compactions = info.get("compactions", [])
+    compactions.append(
+        {
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "files_before": len(files),
+            "files_after": len(_part_files(tmp)),
+        }
+    )
+    info.update({"compactions": compactions})
+    with open(os.path.join(tmp, MARKER), "w", encoding="utf-8") as fh:
+        json.dump(info, fh)
+    _swap_into_place(path, tmp, run_id)
+    spark.catalog.refreshByPath(path)
+    if info.get("bucket"):
+        register_stage_table(spark, root, stage)
+    return dict(
+        summary, action="compacted", files_after=len(_part_files(path))
+    )
 
 
 def read_stage(spark: SparkSession, root: str, stage: str) -> DataFrame:

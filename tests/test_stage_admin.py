@@ -201,3 +201,95 @@ def test_bucketed_upsert_schema_evolution_refreshes_ddl(spark, work_dir):
         assert "Exchange" not in aplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_stage_binpacks_append_fragments(spark, work_dir):
+    """append_stage adds files every increment and never rewrites, so an
+    append-heavy stage fragments; compact_stage binpacks it back under
+    the trigger count, result-neutral, keeping the marker history
+    (Iceberg rewrite_data_files in production)."""
+    root = f"{work_dir}/compact"
+    os.makedirs(root)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k long, v string"
+    ).repartition(4)
+    stage_store.commit_stage(base, root, "s", "r1")
+    for j in range(4):
+        inc = spark.createDataFrame([(100 + j, "a")], "k long, v string")
+        stage_store.append_stage(inc, root, "s", f"a{j}")
+    path = os.path.join(root, "s")
+    before = stage_store._part_files(path)
+    assert len(before) > 2
+    expected = sorted(
+        (r.k, r.v) for r in spark.read.parquet(path).collect()
+    )
+
+    res = stage_store.compact_stage(
+        spark, root, "s", "c1", target_bytes=1 << 30, min_files=2
+    )
+    assert res["action"] == "compacted"
+    assert res["files_before"] == len(before)
+    after = stage_store._part_files(path)
+    assert len(after) <= 2
+    assert sorted((r.k, r.v) for r in spark.read.parquet(path).collect()) == expected
+
+    info = stage_store.marker_info(root, "s")
+    assert len(info["appends"]) == 4  # history preserved
+    assert info["compactions"][-1]["run_id"] == "c1"
+    assert stage_store.is_committed(root, "s")
+
+    # at-or-below the trigger -> no-op (safe to run on a schedule)
+    res2 = stage_store.compact_stage(
+        spark, root, "s", "c2", target_bytes=1 << 30, min_files=2
+    )
+    assert res2["action"] == "noop"
+    assert len(stage_store.marker_info(root, "s").get("compactions", [])) == 1
+
+
+def test_compact_bucketed_stage_reclusters(spark, work_dir):
+    """A bucketed stage written from many input partitions emits up to
+    (tasks x buckets) files; compaction re-clusters to ~one file per
+    bucket and the re-registered table still carries the bucket spec."""
+    root = f"{work_dir}/compactb"
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(32)], "k long, v string"
+    ).repartition(8)
+    stage_store.commit_stage(df, root, "b", "r1", bucket_by=["k"], n_buckets=4)
+    path = os.path.join(root, "b")
+    before = len(stage_store._part_files(path))
+    assert before > 4
+    expected = sorted(
+        (r.k, r.v) for r in stage_store.read_stage(spark, root, "b").collect()
+    )
+
+    res = stage_store.compact_stage(
+        spark, root, "b", "c1", target_bytes=1 << 30, min_files=4
+    )
+    assert res["action"] == "compacted"
+    assert len(stage_store._part_files(path)) <= 4
+    out = stage_store.read_stage(spark, root, "b")
+    assert sorted((r.k, r.v) for r in out.collect()) == expected
+    assert stage_store.marker_info(root, "b")["bucket"]["n"] == 4
+
+
+def test_admin_cli_compact(spark, work_dir, capsys):
+    root = f"{work_dir}/clicompact"
+    os.makedirs(root)
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    stage_store.commit_stage(base, root, "s", "r1")
+    for j in range(3):
+        inc = spark.createDataFrame([(10 + j, "b")], "k long, v string")
+        stage_store.append_stage(inc, root, "s", f"a{j}")
+
+    stage_admin.main(
+        [root, "--compact", "s", "--min-files", "1", "--target-mb", "1024"]
+    )
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    assert len(stage_store._part_files(os.path.join(root, "s"))) <= 1
+
+    stage_admin.main(
+        [root, "--compact", "s", "--min-files", "1", "--target-mb", "1024"]
+    )
+    assert "already compact" in capsys.readouterr().out
