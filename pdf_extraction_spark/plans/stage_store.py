@@ -484,6 +484,12 @@ def compact_stage(
     files = _part_files(path)
     data_bytes = sum(os.path.getsize(f) for f in files)
     target_count = max(min_files, -(-data_bytes // target_bytes))
+    info0 = marker_info(root, stage) or {}
+    if info0.get("bucket"):
+        # A bucketed rewrite emits ~one file per bucket regardless of
+        # bytes; without this floor a small stage with n_buckets >
+        # target would "compact" n -> n files on every scheduled run.
+        target_count = max(target_count, info0["bucket"]["n"])
     summary = {
         "stage": stage,
         "files_before": len(files),
@@ -492,7 +498,7 @@ def compact_stage(
     }
     if len(files) <= target_count:
         return dict(summary, action="noop")
-    info = marker_info(root, stage) or {}
+    info = info0
     tmp = f"{path}.tmp-{run_id}"
     if info.get("bucket"):
         # Zero-shuffle re-cluster: with autoBucketedScan pinned ON, the

@@ -272,6 +272,15 @@ def test_compact_bucketed_stage_reclusters(spark, work_dir):
     assert sorted((r.k, r.v) for r in out.collect()) == expected
     assert stage_store.marker_info(root, "b")["bucket"]["n"] == 4
 
+    # converges: a bucketed rewrite emits ~n_buckets files no matter
+    # what, so the trigger floors at n and a re-run is a no-op even
+    # with min_files below the bucket count (schedulable)
+    res2 = stage_store.compact_stage(
+        spark, root, "b", "c2", target_bytes=1 << 30, min_files=1
+    )
+    assert res2["action"] == "noop"
+    assert res2["target_files"] == 4
+
 
 def test_admin_cli_compact(spark, work_dir, capsys):
     root = f"{work_dir}/clicompact"
