@@ -428,6 +428,43 @@ def run_scaling(args) -> int:
             load = wait_quiet(max_wait=300.0, bar=5.0)
         return load
 
+    # Round-5 revision (v5, pre-registered in NOTES.md; OBSERVATIONAL
+    # only — no change to admission/retry/discard): session 21 showed
+    # pairs depressed with loadavg ~0 and steal ~0.006%, invisible to
+    # every gate.  Immediately before each pair, a ~2s single-core
+    # probe (pure Python/numpy extract_payload over a frozen 400-doc
+    # corpus prefix, pinned to cpu 0 — silicon both legs use) records
+    # host speed as a covariate: a steady probe next to a depressed
+    # pair isolates parallel-path interference (memory bandwidth / SMT
+    # co-tenancy) from host-wide slowdown (frequency / hypervisor),
+    # which the probe WOULD catch.  Diagnostic for the ledger, never a
+    # filter.
+    _CALIB_SRC = (
+        "import sys,time,glob;sys.path.insert(0,'/root/repo');"
+        "import pyarrow.parquet as pq;"
+        "from pdf_extraction_spark.operators.layout import extract_payload;"
+        "f=sorted(glob.glob('{corpus}/part*.parquet') or "
+        "glob.glob('{corpus}/*.parquet'))[0];"
+        "p=pq.read_table(f,columns=['html']).column('html').to_pylist()[:400];"
+        "[extract_payload(x) for x in p[:50]];"
+        "t=time.perf_counter();"
+        "sum(len(extract_payload(x)) for x in p);"
+        "print(round(len(p)/(time.perf_counter()-t),2))"
+    )
+
+    def calibrate() -> float | None:
+        cmd = (["taskset", "-c", "0"] if have_taskset else []) + [
+            sys.executable, "-c",
+            _CALIB_SRC.format(corpus=f"/root/repo/.work/bench_corpus_{n_docs}"),
+        ]
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True, timeout=60)
+            return float(res.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # never let the probe kill a session
+            log(f"   calibration probe failed ({exc!r}) — recorded null")
+            return None
+
     def run_pair(i: int) -> tuple[dict, dict]:
         if i % 2 == 0:
             a = one(4)
@@ -437,9 +474,11 @@ def run_scaling(args) -> int:
             a = one(4)
         return a, b
 
+    calibs = []
     for i in range(runs):
         log(f"== scaling pair {i + 1}/{runs} (pinned: {have_taskset}) ==")
         loads.append(quiet_gate())
+        calibs.append(calibrate())
         a, b = run_pair(i)
         time.sleep(COOLDOWN_S)  # let the pair's own load decay first
         with open("/proc/loadavg") as fh:
@@ -453,12 +492,14 @@ def run_scaling(args) -> int:
             log(f"   pair contaminated mid-run (cooled loadavg_end {load_end}, "
                 f"eff {eff_bad} discarded) — one retry after quiet window")
             loads[-1] = quiet_gate()
+            calibs[-1] = calibrate()
             a, b = run_pair(i)
         thr4.append(a["docs_per_sec"])
         thr16.append(b["docs_per_sec"])
         pairs.append(round((b["docs_per_sec"] / a["docs_per_sec"]) / 4.0, 3))
         log(f"   local[4] {a['docs_per_sec']} | local[16] {b['docs_per_sec']} "
-            f"| pair eff {pairs[-1]} | loadavg {loads[-1]}")
+            f"| pair eff {pairs[-1]} | loadavg {loads[-1]} "
+            f"| calib {calibs[-1]} docs/s")
     eff = round(statistics.median(pairs), 3)
     thr_n = round(statistics.median(thr4), 2)
     thr_4n = round(statistics.median(thr16), 2)
@@ -479,8 +520,16 @@ def run_scaling(args) -> int:
         "runs": runs,
         "pinned": have_taskset,
         "loadavg_before_pairs": loads,
+        "calib_docs_per_sec": calibs,
         "contaminated_pairs": contaminated,
-        "protocol": "v4: interleaved ABBA pairs, peak-of-3 warm runs per "
+        "protocol": "v5 = v4 + an OBSERVATIONAL per-pair single-core "
+                    "calibration probe (~2s pure-Python extract over a "
+                    "frozen 400-doc corpus prefix, pinned to cpu 0, run "
+                    "right after the start gate; recorded per pair as "
+                    "calib_docs_per_sec, never a filter — a steady probe "
+                    "next to a depressed pair isolates parallel-path "
+                    "interference from host-wide slowdown).  "
+                    "v4: interleaved ABBA pairs, peak-of-3 warm runs per "
                     "level, median per-pair efficiency, pre-registered "
                     "loadavg<1.5 start gate before each pair (10-min "
                     "wait, then a 5-min fallback at the old <5 bar so a "
