@@ -302,3 +302,57 @@ def test_admin_cli_compact(spark, work_dir, capsys):
         [root, "--compact", "s", "--min-files", "1", "--target-mb", "1024"]
     )
     assert "already compact" in capsys.readouterr().out
+
+
+def test_compact_then_append_then_upsert_lifecycle(spark, work_dir):
+    """The full append-heavy deployment loop: fragment -> compact ->
+    keep appending -> MERGE upsert.  Each transition must preserve rows
+    and the marker's history chain (a compacted snapshot is a normal
+    committed snapshot — not a special state later writers can trip
+    over)."""
+    root = f"{work_dir}/lifecycle"
+    os.makedirs(root)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k long, v string"
+    ).repartition(4)
+    stage_store.commit_stage(base, root, "s", "r1")
+    for j in range(4):
+        inc = spark.createDataFrame([(10 + j, "a")], "k long, v string")
+        stage_store.append_stage(inc, root, "s", f"a{j}")
+
+    res = stage_store.compact_stage(
+        spark, root, "s", "c1", target_bytes=1 << 30, min_files=2
+    )
+    assert res["action"] == "compacted"
+
+    # append AFTER compaction: a compacted stage accepts increments and
+    # the marker keeps both histories
+    inc = spark.createDataFrame([(99, "late")], "k long, v string")
+    stage_store.append_stage(inc, root, "s", "a9")
+    info = stage_store.marker_info(root, "s")
+    assert info["compactions"][-1]["run_id"] == "c1"
+    assert info["appends"][-1]["run_id"] == "a9"
+
+    # MERGE upsert after compaction: keyed rows replaced, rest kept,
+    # snapshot still committed and readable
+    up = spark.createDataFrame([(0, "NEW"), (99, "NEW")], "k long, v string")
+    stage_store.upsert_stage(up, root, "s", "u1", keys=["k"])
+    got = dict(
+        (r.k, r.v)
+        for r in stage_store.read_stage(spark, root, "s").collect()
+    )
+    expected = {i: f"v{i}" for i in range(1, 4)}
+    expected.update({10 + j: "a" for j in range(4)})
+    expected.update({0: "NEW", 99: "NEW"})
+    assert got == expected
+    assert stage_store.is_committed(root, "s")
+
+    # and the compacted-then-upserted stage still compacts (full loop)
+    res2 = stage_store.compact_stage(
+        spark, root, "s", "c2", target_bytes=1 << 30, min_files=1
+    )
+    assert res2["action"] in ("compacted", "noop")
+    assert sorted(
+        (r.k, r.v)
+        for r in stage_store.read_stage(spark, root, "s").collect()
+    ) == sorted(got.items())
