@@ -48,6 +48,54 @@ def wait_quiet(max_wait: float = 600.0, bar: float = 5.0) -> float:
         waited += 30
 
 
+# Round-5 protocol v5 (pre-registered in NOTES.md; OBSERVATIONAL only —
+# no change to any admission/retry/discard rule): a ~2s single-core
+# host-speed probe — pure Python/numpy extract_payload over a frozen
+# 400-doc corpus prefix, pinned to cpu 0 (silicon every measurement
+# uses).  A steady probe next to a depressed measurement isolates
+# parallel-path interference (memory bandwidth / SMT co-tenancy) from
+# host-wide slowdown (frequency / hypervisor), which the probe WOULD
+# catch.  Recorded as a covariate in scaling sessions (per pair) and
+# the per-query suite (per round); diagnostic for the ledger, never a
+# filter.
+_CALIB_SRC = (
+    "import sys,time,glob;sys.path.insert(0,'/root/repo');"
+    "import pyarrow.parquet as pq;"
+    "from pdf_extraction_spark.operators.layout import extract_payload;"
+    "p=[]\n"
+    # accumulate across sorted part files: Spark corpora can lead with
+    # empty parts, so a first-file-only read can come back with 0 docs
+    "for f in sorted(glob.glob('{corpus}/part*.parquet') or "
+    "glob.glob('{corpus}/*.parquet')):\n"
+    "    p+=pq.read_table(f,columns=['html']).column('html').to_pylist()\n"
+    "    if len(p)>=400: break\n"
+    "p=p[:400]\n"
+    "assert p, 'calib corpus empty'\n"
+    "[extract_payload(x) for x in p[:50]]\n"
+    "t=time.perf_counter()\n"
+    "sum(len(extract_payload(x)) for x in p)\n"
+    "print(round(len(p)/(time.perf_counter()-t),2))"
+)
+
+
+def calib_probe(corpus: str) -> float | None:
+    """Run the v5 probe over ``corpus``; docs/s or None.  Never raises —
+    a covariate must not kill a measurement run."""
+    pinned = subprocess.run(
+        ["which", "taskset"], capture_output=True
+    ).returncode == 0
+    cmd = (["taskset", "-c", "0"] if pinned else []) + [
+        sys.executable, "-c", _CALIB_SRC.format(corpus=corpus),
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True, timeout=60)
+        return float(res.stdout.strip().splitlines()[-1])
+    except Exception as exc:
+        log(f"   calibration probe failed ({exc!r}) — recorded null")
+        return None
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -281,9 +329,11 @@ def main() -> int:
         q_rounds = max(3, args.runs)
         all_runs: dict[str, list[float]] = {n: [] for n in qfns}
         round_loads = []
+        round_calibs = []
         log(f"query suite ({len(qfns)} queries, {q_rounds} round-robin rounds)...")
         for _ in range(q_rounds):
             round_loads.append(wait_quiet())
+            round_calibs.append(calib_probe(corpus))
             for name, fn in qfns.items():
                 t0 = time.monotonic()
                 df = fn(spark, args.sf_dir)
@@ -297,7 +347,10 @@ def main() -> int:
             "interleaving": "round-robin (whole suite per round)",
             "statistic": "median per query across rounds",
             "loadavg_before_rounds": round_loads,
-            "gate": "loadavg(1m) < 5, up to 600s wait per round",
+            "calib_docs_per_sec": round_calibs,
+            "gate": "loadavg(1m) < 5, up to 600s wait per round; "
+                    "calib = v5 observational single-core host-speed "
+                    "probe per round (never a filter)",
             "all_runs": all_runs,
         }
 
@@ -428,42 +481,8 @@ def run_scaling(args) -> int:
             load = wait_quiet(max_wait=300.0, bar=5.0)
         return load
 
-    # Round-5 revision (v5, pre-registered in NOTES.md; OBSERVATIONAL
-    # only — no change to admission/retry/discard): session 21 showed
-    # pairs depressed with loadavg ~0 and steal ~0.006%, invisible to
-    # every gate.  Immediately before each pair, a ~2s single-core
-    # probe (pure Python/numpy extract_payload over a frozen 400-doc
-    # corpus prefix, pinned to cpu 0 — silicon both legs use) records
-    # host speed as a covariate: a steady probe next to a depressed
-    # pair isolates parallel-path interference (memory bandwidth / SMT
-    # co-tenancy) from host-wide slowdown (frequency / hypervisor),
-    # which the probe WOULD catch.  Diagnostic for the ledger, never a
-    # filter.
-    _CALIB_SRC = (
-        "import sys,time,glob;sys.path.insert(0,'/root/repo');"
-        "import pyarrow.parquet as pq;"
-        "from pdf_extraction_spark.operators.layout import extract_payload;"
-        "f=sorted(glob.glob('{corpus}/part*.parquet') or "
-        "glob.glob('{corpus}/*.parquet'))[0];"
-        "p=pq.read_table(f,columns=['html']).column('html').to_pylist()[:400];"
-        "[extract_payload(x) for x in p[:50]];"
-        "t=time.perf_counter();"
-        "sum(len(extract_payload(x)) for x in p);"
-        "print(round(len(p)/(time.perf_counter()-t),2))"
-    )
-
     def calibrate() -> float | None:
-        cmd = (["taskset", "-c", "0"] if have_taskset else []) + [
-            sys.executable, "-c",
-            _CALIB_SRC.format(corpus=f"/root/repo/.work/bench_corpus_{n_docs}"),
-        ]
-        try:
-            res = subprocess.run(cmd, capture_output=True, text=True,
-                                 check=True, timeout=60)
-            return float(res.stdout.strip().splitlines()[-1])
-        except Exception as exc:  # never let the probe kill a session
-            log(f"   calibration probe failed ({exc!r}) — recorded null")
-            return None
+        return calib_probe(f"/root/repo/.work/bench_corpus_{n_docs}")
 
     def run_pair(i: int) -> tuple[dict, dict]:
         if i % 2 == 0:
