@@ -16,7 +16,7 @@ can replay the whole hybrid computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..constants import (
     BM25_B,
@@ -26,6 +26,7 @@ from ..constants import (
     RERANK_CANDIDATES,
     SEMANTIC_WEIGHT,
 )
+from .partitioning import ensure_parallelism
 
 
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -33,19 +34,97 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     construction; the reference's Korean morpheme tokenizer is out of
     scope per SURVEY.md §7.5).
 
-    Deliberately UNGUARDED (no ensure_parallelism): the retrieval
-    consumers do cheap per-token work (isin filter / set intersect), so
-    on an under-split input the guard's exchange + plan introspection
-    cost MORE than the single-core fused stage saves — measured pinned
-    + interleaved in BENCH/BM25_FORMS.md (r2_noguard 0.484s vs guarded
-    0.580s median; the r3 +35% bm25_documents regression was exactly
-    this).  The md5-heavy families guard their own inputs (dedup.py
-    shingles/simhash16, similarity.py), where the same measurement
-    shows the guard winning 4-7x."""
-    return df.withColumn(
+    GUARDED since round 6 (ensure_parallelism BEFORE the tokens
+    project, so the split itself parallelizes): rounds 2-3 measured the
+    guard losing at sf0.1 (BENCH/BM25_FORMS.md, r2_noguard 0.484s vs
+    guarded 0.580s) — but that was the old 3-scan BM25 shape, where
+    every scan re-paid the guard.  The round-6 compact-frame BM25 pays
+    ONE guard exchange for ONE text pass, and at the driver's sf1.0
+    the unguarded fused scan ran the whole tokenize on a single core
+    (documents.parquet is one row group): guarded hybrid measured
+    3.43s -> ~1s (OPTIMIZATION_r06.md).  At scale the scan arrives
+    with >= core-count splits and the guard is a no-op."""
+    return ensure_parallelism(df).withColumn(
         "tokens",
         F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
     ).withColumn("doc_len", F.size("tokens"))
+
+
+def _tf_col(term: str) -> Column:
+    """Occurrences of ``term`` in the tokens array, row-locally:
+    size(tokens) - size(array_remove(tokens, term)) — pure codegen'd
+    collection ops (a higher-order filter lambda would run interpreted
+    per token)."""
+    return F.size("tokens") - F.size(F.array_remove("tokens", term))
+
+
+def _bm25_compact(
+    docs: DataFrame, terms: list[str], id_col: str, extra: list[Column]
+) -> DataFrame:
+    """ONE text pass -> the 40-byte-per-doc proxy frame every BM25
+    consumer derives from: (id, doc_len, _tf<j> per query term, plus
+    caller extras), hash-repartitioned on id so the heavy tokenize runs
+    exactly once and every downstream branch (corpus stats, df counts,
+    scoring) hits a ReusedExchange instead of re-scanning the corpus
+    (guide §2.3: shuffle keys and metadata instead of payloads).
+
+    Input parallelism comes from with_tokens' guard (the tokens
+    project must sit ABOVE that exchange so the split itself
+    parallelizes); the hash repartition here is the materialization
+    point downstream branches reuse — at scale it is a narrow
+    metadata-row shuffle (~40 B/doc), never the text."""
+    compact = docs.select(
+        id_col,
+        "doc_len",
+        *[_tf_col(t).alias(f"_tf{j}") for j, t in enumerate(terms)],
+        *extra,
+    )
+    # Lazy localCheckpoint: the stats / minmax / scoring branches all
+    # consume this frame, and exchange-level reuse alone is fragile
+    # (column pruning narrows each branch's copy of the exchange, so
+    # the canonical plans stop matching and the text pass re-runs per
+    # branch).  The checkpoint pins ONE materialization of the ~40 B/doc
+    # rows; computed on first use inside the same query, never across
+    # runs.
+    return compact.repartition(F.col(id_col)).localCheckpoint(eager=False)
+
+
+def _bm25_stats_aggs(terms: list[str]) -> list[Column]:
+    """Corpus stats + per-term doc frequencies in ONE tiny aggregate."""
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{j}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_df{j}")
+            for j in range(len(terms))
+        ],
+    ]
+
+
+def _bm25_score_col(terms: list[str], k1: float, b: float) -> Column:
+    """Row-local BM25 sum over the per-term tf columns (absent terms
+    contribute exactly 0.0)."""
+    score = F.lit(0.0)
+    for j in range(len(terms)):
+        tf = F.col(f"_tf{j}")
+        df = F.col(f"_df{j}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        )
+        denom = tf + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+        score = score + F.when(
+            tf > 0, idf * (tf * (k1 + 1)) / denom
+        ).otherwise(F.lit(0.0))
+    return score
+
+
+def _any_tf(terms: list[str]) -> Column:
+    cond = F.lit(False)
+    for j in range(len(terms)):
+        cond = cond | (F.col(f"_tf{j}") > 0)
+    return cond
 
 
 def bm25_scores(
@@ -56,36 +135,39 @@ def bm25_scores(
     b: float = BM25_B,
 ) -> DataFrame:
     """-> (id_col, keyword_score). docs must carry tokens/doc_len
-    (with_tokens).  reference: search_vector_db.py:61-85."""
-    corpus = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
+    (with_tokens).  reference: search_vector_db.py:61-85.
+
+    Round-6 shape (guide §2.3/§2.4): per-term tf computed row-locally
+    into a compact per-doc frame (one corpus scan instead of three —
+    the old corpus-stats / explode-terms / explode-distinct-df subplans
+    each re-tokenized the text); corpus stats AND df counts come from
+    one tiny aggregate over that frame; the score is a row-local sum
+    against the broadcast stats row.  Semantics identical: tf =
+    occurrence count, df = docs containing the term, same idf/denom
+    expressions, docs with no query term excluded."""
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        return docs.select(id_col).filter(F.lit(False)).withColumn(
+            "keyword_score", F.lit(0.0)
+        )
+    compact = _bm25_compact(docs, terms, id_col, [])
+    stats = compact.agg(*_bm25_stats_aggs(terms))
+    # The no-term filter is expressed on the POST-JOIN score column (null
+    # when no term matched), NOT as a predicate on the tf columns: a
+    # pre-join filter gets pushed below the compact exchange, which both
+    # re-evaluates the tokenize on the (possibly single-task) scan side
+    # and breaks the ReusedExchange with the stats branch.  A condition
+    # referencing the broadcast stats row cannot be pushed below the
+    # join, so the exchange subtrees stay identical and the text pass
+    # runs once.
+    score = F.when(
+        _any_tf(terms), _bm25_score_col(terms, k1, b)
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        compact.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("keyword_score"))
+        .filter(F.col("keyword_score").isNotNull())
     )
-    terms = docs.select(id_col, "doc_len", F.explode("tokens").alias("term")).filter(
-        F.col("term").isin(query_terms)
-    )
-    # NOTE: deriving df from `terms` via distinct was tried (round 3)
-    # and reverted: it swaps this second map-side explode+filter (cheap,
-    # shuffle-free) for a distinct EXCHANGE on (id, term) — measured
-    # slower pinned, and strictly worse at scale where map CPU is free
-    # relative to shuffles
-    df_counts = (
-        docs.select(id_col, F.explode(F.array_distinct("tokens")).alias("term"))
-        .filter(F.col("term").isin(query_terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    tf = terms.groupBy(id_col, "doc_len", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
-    per_term = (
-        tf.join(F.broadcast(df_counts), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("term_score", idf * (F.col("tf") * (k1 + 1)) / denom)
-    )
-    return per_term.groupBy(id_col).agg(F.sum("term_score").alias("keyword_score"))
 
 
 def jaccard_semantic(
@@ -144,13 +226,41 @@ def hybrid_search(
 ) -> DataFrame:
     """Hybrid mode (reference search_vector_db.py:247-254): semantic
     candidates -> BM25 rescore -> min-max normalize -> 0.6/0.4 combine
-    -> top-k with deterministic tiebreak."""
+    -> top-k with deterministic tiebreak.
+
+    Round-6 shape: ONE text pass builds a compact per-doc frame
+    carrying doc_len, per-term tf AND the two semantic set sizes; both
+    scores are then row-local math against one broadcast stats row
+    (the old shape re-tokenized the corpus for the semantic scan, the
+    BM25 corpus stats, the term explode and the df explode — four
+    scans — and joined sem to kw through an exchange).  Score algebra
+    unchanged: jaccard = |dt ∩ q| / |dt ∪ q| with
+    |dt ∪ q| = |dt| + |q| - |dt ∩ q| (both sides distinct), BM25
+    identical to bm25_scores, coalesce/round/filter order identical."""
     query_terms = [t for t in query.split(" ") if t]
+    terms = list(dict.fromkeys(query_terms))
+    q_arr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    n_q = len(set(query_terms))
     toks = with_tokens(docs, text_col)
-    sem = jaccard_semantic(toks, query_terms, id_col)
-    kw = bm25_scores(toks, query_terms, id_col)
+    compact = _bm25_compact(
+        toks, terms, id_col,
+        [
+            F.size(F.array_intersect(F.array_distinct("tokens"), q_arr)).alias("_n_int"),
+            F.size(F.array_distinct("tokens")).alias("_n_dt"),
+        ],
+    )
+    stats = compact.agg(*_bm25_stats_aggs(terms))
+    sem_score = F.col("_n_int") / (F.col("_n_dt") + F.lit(n_q) - F.col("_n_int"))
+    kw_raw = F.when(
+        _any_tf(terms), _bm25_score_col(terms, BM25_K1, BM25_B)
+    ).otherwise(F.lit(None).cast("double"))
     cand = (
-        sem.join(kw, id_col, "left")
+        compact.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            sem_score.alias("semantic_score"),
+            kw_raw.alias("keyword_score"),
+        )
         .withColumn("keyword_score", F.round(F.coalesce("keyword_score", F.lit(0.0)), 6))
         .withColumn("semantic_score", F.round("semantic_score", 6))
         .filter((F.col("semantic_score") > 0) | (F.col("keyword_score") > 0))
