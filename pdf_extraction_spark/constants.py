@@ -9,11 +9,6 @@ engine reproduces reference semantics exactly.
 PREFIX_LEN = 15              # structured_extract.py:66 (normalized-line prefix key)
 MIN_PATTERN_PAGES = 3        # structured_extract.py:91 threshold floor
 PATTERN_PAGE_FRACTION = 0.2  # structured_extract.py:91 (20% of pages in group)
-# strip_stage pattern-side broadcast gate: measured host cardinality at
-# or below this broadcasts the per-host pattern arrays (shuffle-free
-# pages side); above it the stage shuffle-hash joins on host (a web
-# corpus has 10^7-10^8 hosts — that broadcast does not fit)
-BROADCAST_HOST_CAP = 100_000
 MIN_NORM_LEN = 4             # structured_extract.py:81 (short lines never counted)
 IMAGE_PLACEHOLDER = "[IMAGE]"  # structured_extract.py:355 image_placeholder
 

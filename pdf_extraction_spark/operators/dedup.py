@@ -319,14 +319,20 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tok = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens_col(text_col)).alias("w"),
-    ).withColumn("hx", F.substring(F.md5("w"), 1, 4))
+    ).withColumn(
+        # ONE hex->int conversion of the 4-char prefix; each bit is then
+        # a shift+mask (the per-bit form ran 16 conv() string parses per
+        # token — ~10% of query wall at sf1.0, identical integers).
+        # Hex char at position p (0-based, leftmost) holds bits
+        # 4*(3-p)+3 .. 4*(3-p) of v, so bit (p=bit//4, b=bit%4) of the
+        # old form is bit 4*(3-bit//4)+bit%4 of v.
+        "v", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int")
+    )
 
     votes = []
     for bit in range(16):
-        hexval = F.conv(F.substring("hx", bit // 4 + 1, 1), 16, 10).cast("int")
-        bitval = (
-            F.floor(hexval / F.lit(float(2 ** (bit % 4)))).cast("long") % 2
-        )
+        shift = 4 * (3 - bit // 4) + bit % 4
+        bitval = F.shiftright("v", shift).bitwiseAND(F.lit(1))
         votes.append(
             F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"v{bit}")
         )

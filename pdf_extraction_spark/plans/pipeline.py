@@ -97,8 +97,12 @@ def run_pipeline(
     # GC swap leftovers up front: a prior run that died after its swap
     # landed but before rmtree leaves `.old-*` dirs that otherwise
     # accumulate forever in incremental deployments (recovery only GCs
-    # when it actually has something to heal).
-    stage_store.gc_all(out_root)
+    # when it actually has something to heal).  `.old-*` ONLY: a
+    # not-yet-marked `.tmp-*` may belong to a LIVE out-of-process
+    # writer, and deleting it mid-write would fail that writer's commit
+    # (round-5 advice item 1); stale tmps are swept by the explicit
+    # admin --gc path.
+    stage_store.gc_all(out_root, kinds=("old",))
 
     if resume and stage_store.is_committed(out_root, "pages"):
         pages = stage_store.read_stage(spark, out_root, "pages")
@@ -220,7 +224,7 @@ def run_incremental(
     run_id = run_id or uuid.uuid4().hex[:12]
     if not stage_store.is_committed(out_root, "pages"):
         return run_pipeline(spark, input_df, out_root, resume=True, run_id=run_id)
-    stage_store.gc_all(out_root)  # same leftover hygiene as run_pipeline
+    stage_store.gc_all(out_root, kinds=("old",))  # same leftover hygiene as run_pipeline
 
     committed = stage_store.read_stage(spark, out_root, "pages")
     # MUST be the exact expression extract_stage stamps (extract.py:94,

@@ -262,28 +262,36 @@ def recover_stage(root: str, stage: str) -> str | None:
     return action
 
 
-def gc_stage(root: str, stage: str) -> list[str]:
+def gc_stage(
+    root: str, stage: str, kinds: tuple[str, ...] = ("tmp", "old")
+) -> list[str]:
     """Remove leftover `<stage>.tmp-*` / `<stage>.old-*` dirs once the
-    stage path itself is committed; returns the paths removed.  Safe
-    only with no concurrent writer on this stage."""
+    stage path itself is committed; returns the paths removed.  Full
+    (tmp+old) GC is safe only with no concurrent writer on this stage;
+    pass ``kinds=("old",)`` when an out-of-process writer may be live —
+    an in-progress (not-yet-marked) tmp is indistinguishable from a
+    crashed one, while `.old-*` dirs are only ever swap leftovers."""
     if not os.path.exists(os.path.join(_dir(root, stage), MARKER)):
         return []
     removed = []
-    for kind in ("tmp", "old"):
+    for kind in kinds:
         for d in _siblings(root, stage, kind):
             shutil.rmtree(d)
             removed.append(d)
     return removed
 
 
-def gc_all(root: str) -> list[str]:
+def gc_all(root: str, kinds: tuple[str, ...] = ("tmp", "old")) -> list[str]:
     """gc_stage across every committed stage under ``root`` — run at
     pipeline start so `.old-*` leftovers from runs that died between
     swap and rmtree cannot accumulate across incremental deployments.
-    Cheap when clean: one listdir per stage."""
+    Cheap when clean: one listdir per stage.  The pipeline-startup call
+    passes ``kinds=("old",)`` so a resuming reader can never delete a
+    concurrent writer's in-progress tmp mid-write (round-5 advice);
+    the explicit admin --gc path keeps the full sweep."""
     removed = []
     for s in stages(root):
-        removed.extend(gc_stage(root, s))
+        removed.extend(gc_stage(root, s, kinds))
     return removed
 
 
@@ -501,7 +509,8 @@ def compact_stage(
     info = info0
     tmp = f"{path}.tmp-{run_id}"
     if info.get("bucket"):
-        # Zero-shuffle re-cluster: with autoBucketedScan pinned ON, the
+        # Zero-shuffle re-cluster: with the auto-bucketed-scan rule
+        # disabled (bucketed scan forced), the
         # catalog table scans as one partition per bucket (all of a
         # bucket's fragments combined), which already satisfies the
         # repartition's HashPartitioning — the Exchange is elided and

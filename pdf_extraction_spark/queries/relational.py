@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 DEC = "decimal(18,4)"
 
-from .common import table as _table
+from .common import fits_broadcast, table as _table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -162,14 +162,31 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join, revenue agg, top 10 (W1)."""
+    """TPC-H Q3 shape: 3-way join, revenue agg, top 10 (W1).
+
+    When the orders table itself fits the auto-broadcast threshold (so
+    the planner would broadcast it whole), join the dims FIRST and
+    broadcast the customer-filtered composite instead — a ~5x smaller
+    build side for the lineitem join (guide §3.1: estimates after
+    filters are wrong, hint when you know; sf1.0 pinned interleaved
+    A/B: 1.76s -> 1.13s, results identical).  Above the threshold the
+    shape falls back to the round-5 plan (lineitem ⋈ orders sort-merge
+    with AQE, broadcast customer) — no forced broadcast at scale."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(DEC)
+    if fits_broadcast(o):
+        oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate"
+        )
+        joined = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    else:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+            F.broadcast(c), o.o_custkey == c.c_custkey
+        )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        joined
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -93,7 +93,11 @@ def test_dedup_family_plans_are_shuffle_lean(spark, sf):
         assert m and "text#" not in m.group(1) and "doc_id#" in m.group(1)
 
     fp = plan_of(quality.fingerprint(docs))
-    assert "Window" not in fp and "Exchange" not in fp  # fully row-local
+    # row-local math: no Window, no hash exchange of tokens/hashes.  The
+    # only allowed exchange is the input-parallelism guard's round-robin
+    # rebalance (round 6: the md5/shingle work was single-core on
+    # one-row-group inputs), which carries the raw rows, nothing derived.
+    assert "Window" not in fp and "Exchange hashpartitioning" not in fp
 
     exact = plan_of(dedup.exact_dedup(docs))
     assert "Window" not in exact
@@ -172,9 +176,10 @@ def test_ann_bucket_no_self_join(spark, sf):
 
 def test_strip_default_does_not_broadcast_patterns(spark, sf):
     """Web-scale host cardinality (10^7-10^8) cannot broadcast: the
-    DEFAULT strip join is a shuffle join on host; broadcast is an
-    explicit size-gated opt-in (pipeline measures host count against
-    BROADCAST_HOST_CAP)."""
+    DEFAULT strip join is a shuffle join on host; broadcast is either
+    an explicit opt-in (join_strategy="broadcast") or AQE's runtime
+    size-based conversion under join_strategy="auto" (the pipeline
+    default — the built pattern side's ACTUAL bytes decide)."""
     from pdf_extraction_spark.schemas import PAGES
 
     pages = spark.createDataFrame([], PAGES)

@@ -89,6 +89,26 @@ def test_gc_removes_orphans_only_when_committed(spark, work_dir):
     assert [(r.k, r.v) for r in got] == [(1, "live")]
 
 
+def test_startup_gc_spares_live_writer_tmp(spark, work_dir):
+    """The pipeline-startup GC (kinds=("old",)) must never delete a
+    `.tmp-*` dir: an unmarked tmp is indistinguishable from a LIVE
+    out-of-process writer's in-progress snapshot (round-5 advice) —
+    only `.old-*` swap leftovers are safe to sweep there.  The full
+    sweep stays available for the explicit admin --gc path."""
+    root = f"{work_dir}/gc_live"
+    os.makedirs(root)
+    _mk_stage(spark, root, "s", [(1, "live")], run_id="r2")
+    os.makedirs(os.path.join(root, "s.old-r2"))
+    os.makedirs(os.path.join(root, "s.tmp-r3"))  # maybe a live writer
+
+    removed = stage_store.gc_all(root, kinds=("old",))
+    assert sorted(os.path.basename(p) for p in removed) == ["s.old-r2"]
+    assert os.path.isdir(os.path.join(root, "s.tmp-r3"))  # untouched
+
+    removed = stage_store.gc_all(root)  # admin full sweep
+    assert sorted(os.path.basename(p) for p in removed) == ["s.tmp-r3"]
+
+
 def test_admin_cli_list_remove_confirm_recover(spark, work_dir, capsys):
     root = f"{work_dir}/cli"
     os.makedirs(root)
