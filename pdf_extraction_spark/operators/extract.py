@@ -261,10 +261,6 @@ def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataF
     """
     from ..constants import SPLIT_BYTES_THRESHOLD
 
-    spark = input_df.sparkSession
-    # many small tasks per core: fine-grained waves shrink the straggler
-    # tail of the layout stage (page units have uneven glyph counts)
-    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 16
     host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     base = input_df.select(
         "url", host.alias("host"), "html",
@@ -281,8 +277,21 @@ def extract_stage(input_df: DataFrame, n_partitions: int | None = None) -> DataF
         )
         .mapInArrow(_layout_docs_fn, PAGES_EXT)
     )
+    # Scatter on xxhash64(url, page_no) WITHOUT a pinned partition
+    # count: the round-5 form pinned defaultParallelism*16 (512 tasks on
+    # local[32]) for wave smoothing, which cost ~3s of empty-task
+    # overhead per run when the oversized subset is small (1 doc of
+    # 8000 in the bench corpus; each mapInArrow task pays a Python
+    # worker round-trip even with zero rows).  With no explicit count
+    # the exchange uses spark.sql.shuffle.partitions (cluster-sized
+    # conf) AND stays AQE-coalescible, so the task count follows the
+    # ACTUAL oversized-byte volume at any scale.
     big_units = split_pages(
         base.filter(F.col("_nbytes") > SPLIT_BYTES_THRESHOLD).select("url", "html")
-    ).repartition(n_partitions, F.xxhash64("url", "page_no"))
+    )
+    if n_partitions:
+        big_units = big_units.repartition(n_partitions, F.xxhash64("url", "page_no"))
+    else:
+        big_units = big_units.repartition(F.xxhash64("url", "page_no"))
     big = big_units.mapInArrow(_layout_fn, PAGES_EXT)
     return small.unionByName(big)

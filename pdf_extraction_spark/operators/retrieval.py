@@ -70,23 +70,19 @@ def _bm25_compact(
 
     Input parallelism comes from with_tokens' guard (the tokens
     project must sit ABOVE that exchange so the split itself
-    parallelizes); the hash repartition here is the materialization
-    point downstream branches reuse — at scale it is a narrow
-    metadata-row shuffle (~40 B/doc), never the text."""
-    compact = docs.select(
+    parallelizes).  Each consumer branch (stats aggregate, minmax,
+    scoring) recomputes this projection from the guarded scan: the
+    recompute is embarrassingly parallel and measured CHEAPER than
+    pinning one materialization — a repartition+localCheckpoint form
+    cost ~0.3-0.4s of extra job/exchange overhead at both sf0.1 and
+    sf1.0 (interleaved A/B: bm25 1.03 vs 0.59s at sf1.0) while the
+    duplicated tokenize passes cost ~0.1s on 32 cores."""
+    return docs.select(
         id_col,
         "doc_len",
         *[_tf_col(t).alias(f"_tf{j}") for j, t in enumerate(terms)],
         *extra,
     )
-    # Lazy localCheckpoint: the stats / minmax / scoring branches all
-    # consume this frame, and exchange-level reuse alone is fragile
-    # (column pruning narrows each branch's copy of the exchange, so
-    # the canonical plans stop matching and the text pass re-runs per
-    # branch).  The checkpoint pins ONE materialization of the ~40 B/doc
-    # rows; computed on first use inside the same query, never across
-    # runs.
-    return compact.repartition(F.col(id_col)).localCheckpoint(eager=False)
 
 
 def _bm25_stats_aggs(terms: list[str]) -> list[Column]:

@@ -69,10 +69,21 @@ def build_session(
         # bucket keys == full join keys).  Semantically safe: same-url
         # rows are co-located, a superset equi-join never needs more.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-        # fine-grained scan splits: the shuffle-free small-document
-        # extraction path gets its parallelism from input splits, and
-        # heavy per-row UDF work wants many small waves, not 128MB ones
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # Scan-split sizing (guide §6): the shuffle-free small-document
+        # extraction path gets its parallelism from input splits.
+        # Round 5 pinned 8 MB splits ("many small waves"), which made an
+        # 80 MB corpus into 128 mapInArrow tasks — each task pays a
+        # Python-worker round-trip, so task overhead dominated the
+        # layout stage (extract noop 5.1s at 8k docs, of which ~1s was
+        # small-path task overhead).  Round 6: cap splits at 16 MB and
+        # let Spark's own bytesPerCore floor (totalBytes /
+        # defaultParallelism) size them BELOW the cap — small corpora
+        # still get ~core-count waves, large corpora get fewer, larger
+        # tasks, stage re-reads stop fragmenting (measured sweep of
+        # 8/12/16/32 MB at 8k and 80k docs in OPTIMIZATION_r06.md;
+        # an explicit core-count minPartitionNum floor was tried and
+        # dropped — it re-fragmented the small committed-stage scans).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
