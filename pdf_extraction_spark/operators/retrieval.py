@@ -50,16 +50,41 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("doc_len", F.size("tokens"))
 
 
-def _tf_col(term: str) -> Column:
-    """Occurrences of ``term`` in the tokens array, row-locally:
-    size(tokens) - size(array_remove(tokens, term)) — pure codegen'd
-    collection ops (a higher-order filter lambda would run interpreted
-    per token)."""
-    return F.size("tokens") - F.size(F.array_remove("tokens", term))
+def _regex_literal(term: str) -> str:
+    """Escape ``term`` for literal use inside a Java regex (escape every
+    non-alphanumeric; escaping letters/digits could create classes)."""
+    return "".join(
+        c if (c.isalnum() or c == "_") else "\\" + c for c in term
+    )
+
+
+def _tf_col(term: str, text_col: str) -> Column:
+    """Occurrences of ``term`` as a whitespace token of ``text_col``,
+    with ZERO array materialization: a token equals a maximal run of
+    non-space characters (the tokenizer is split-on-' ' minus empties),
+    so tf = regexp_count of the literal term bounded by ' '/^/$
+    (zero-width lookarounds, so adjacent occurrences all count).
+    Value-identical to counting split-tokens == term.  The former
+    array form (size(tokens) - size(array_remove(tokens, term)))
+    allocated the token array per tf column and collapsed under
+    memory-bandwidth contention — the same pathology measured for
+    token_counts' regex split (OPTIMIZATION_r06.md), with the same
+    cure.  A term containing a space can never be a token -> 0."""
+    if not term or " " in term:
+        return F.lit(0)
+    pat = "(?<=^| )" + _regex_literal(term) + "(?= |$)"
+    return F.regexp_count(F.col(text_col), F.lit(pat))
+
+
+def _doc_len_col(text_col: str) -> Column:
+    """size(split-on-' ' minus empties) == count of maximal non-space
+    runs — same integer, no array built."""
+    return F.regexp_count(F.col(text_col), F.lit("[^ ]+"))
 
 
 def _bm25_compact(
-    docs: DataFrame, terms: list[str], id_col: str, extra: list[Column]
+    docs: DataFrame, terms: list[str], id_col: str, extra: list[Column],
+    text_col: str = "text",
 ) -> DataFrame:
     """ONE text pass -> the 40-byte-per-doc proxy frame every BM25
     consumer derives from: (id, doc_len, _tf<j> per query term, plus
@@ -68,19 +93,19 @@ def _bm25_compact(
     scoring) hits a ReusedExchange instead of re-scanning the corpus
     (guide §2.3: shuffle keys and metadata instead of payloads).
 
-    Input parallelism comes from with_tokens' guard (the tokens
-    project must sit ABOVE that exchange so the split itself
-    parallelizes).  Each consumer branch (stats aggregate, minmax,
-    scoring) recomputes this projection from the guarded scan: the
-    recompute is embarrassingly parallel and measured CHEAPER than
-    pinning one materialization — a repartition+localCheckpoint form
-    cost ~0.3-0.4s of extra job/exchange overhead at both sf0.1 and
-    sf1.0 (interleaved A/B: bm25 1.03 vs 0.59s at sf1.0) while the
-    duplicated tokenize passes cost ~0.1s on 32 cores."""
-    return docs.select(
+    Input parallelism comes from the guard (a no-op when the caller's
+    frame is already guarded/parallel).  Each consumer branch (stats
+    aggregate, minmax, scoring) recomputes this projection from the
+    guarded scan: the recompute is embarrassingly parallel and
+    measured CHEAPER than pinning one materialization — a
+    repartition+localCheckpoint form cost ~0.3-0.4s of extra
+    job/exchange overhead at both sf0.1 and sf1.0 (interleaved A/B:
+    bm25 1.03 vs 0.59s at sf1.0) while the duplicated regexp passes
+    cost ~0.1s on 32 cores."""
+    return ensure_parallelism(docs).select(
         id_col,
-        "doc_len",
-        *[_tf_col(t).alias(f"_tf{j}") for j, t in enumerate(terms)],
+        _doc_len_col(text_col).alias("doc_len"),
+        *[_tf_col(t, text_col).alias(f"_tf{j}") for j, t in enumerate(terms)],
         *extra,
     )
 
@@ -129,9 +154,13 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    text_col: str = "text",
 ) -> DataFrame:
-    """-> (id_col, keyword_score). docs must carry tokens/doc_len
-    (with_tokens).  reference: search_vector_db.py:61-85.
+    """-> (id_col, keyword_score). docs must carry ``text_col`` (raw
+    text; tokens/doc_len from with_tokens are accepted but no longer
+    required — tf/doc_len are regexp_counts over the text, so an
+    unused tokens projection prunes away).
+    reference: search_vector_db.py:61-85.
 
     Round-6 shape (guide §2.3/§2.4): per-term tf computed row-locally
     into a compact per-doc frame (one corpus scan instead of three —
@@ -146,7 +175,7 @@ def bm25_scores(
         return docs.select(id_col).filter(F.lit(False)).withColumn(
             "keyword_score", F.lit(0.0)
         )
-    compact = _bm25_compact(docs, terms, id_col, [])
+    compact = _bm25_compact(docs, terms, id_col, [], text_col)
     stats = compact.agg(*_bm25_stats_aggs(terms))
     # The no-term filter is expressed on the POST-JOIN score column (null
     # when no term matched), NOT as a predicate on the tf columns: a
@@ -235,15 +264,21 @@ def hybrid_search(
     identical to bm25_scores, coalesce/round/filter order identical."""
     query_terms = [t for t in query.split(" ") if t]
     terms = list(dict.fromkeys(query_terms))
-    q_arr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
     n_q = len(set(query_terms))
     toks = with_tokens(docs, text_col)
+    # |distinct tokens| still needs the token array (one build per row);
+    # |distinct tokens ∩ q| does NOT: it equals the number of deduped
+    # query terms with tf > 0, derived from the tf columns for free.
     compact = _bm25_compact(
         toks, terms, id_col,
-        [
-            F.size(F.array_intersect(F.array_distinct("tokens"), q_arr)).alias("_n_int"),
-            F.size(F.array_distinct("tokens")).alias("_n_dt"),
-        ],
+        [F.size(F.array_distinct("tokens")).alias("_n_dt")],
+        text_col,
+    ).withColumn(
+        "_n_int",
+        sum(
+            F.when(F.col(f"_tf{j}") > 0, 1).otherwise(0)
+            for j in range(len(terms))
+        ) if terms else F.lit(0),
     )
     stats = compact.agg(*_bm25_stats_aggs(terms))
     sem_score = F.col("_n_int") / (F.col("_n_dt") + F.lit(n_q) - F.col("_n_int"))
@@ -506,7 +541,7 @@ def _chunk_hybrid_scored(
     pages = with_tokens(
         aggregate_page_text(chunks, doc_col, page_col), "page_text"
     ).withColumn("page_id", F.concat_ws("|", doc_col, page_col))
-    kw = bm25_scores(pages, query_terms, id_col="page_id")
+    kw = bm25_scores(pages, query_terms, id_col="page_id", text_col="page_text")
     page_kw = pages.select(doc_col, page_col, "page_id").join(
         kw, "page_id"
     ).select(doc_col, page_col, F.round("keyword_score", 6).alias("keyword_score"))

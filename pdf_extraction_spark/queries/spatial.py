@@ -57,9 +57,32 @@ def q_spatial_title_join(spark, sf_dir):
     """J5 nearest-above title attach (structured_extract.py:180-214):
     for each table bbox pick the block with horizontal overlap >= 0.5,
     0 <= vertical gap <= 120, len(text) <= 60, minimizing
-    gap - 10*overlap; deterministic tiebreak on block_id."""
+    gap - 10*overlap; deterministic tiebreak on block_id.
+
+    Round-6 shape (guide §2.3 aggregate-before-join / §8 decide with
+    small rows): the theta-join's score depends ONLY on the bbox
+    geometry, and the winner among same-geometry blocks is always the
+    min block_id (equal scores, id tiebreak) — so blocks collapse to
+    one candidate per (geometry, passes-length-filter) class and
+    tables to one row per distinct rect BEFORE the quadratic match;
+    the per-rect winner re-attaches to the full table list by rect
+    equality (exact: both sides compute identical doubles from the
+    same integer expressions).  Results identical by construction —
+    the reduction only removes rows that could never win.  The
+    round-5 form was a raw 200k x 150k BroadcastNestedLoopJoin at
+    sf1.0 (~3e10 pairs, unmeasurable); the class form evaluates
+    |distinct rects| x |distinct block geoms| pairs."""
     t = _tables_geom(spark, sf_dir)
     b = _blocks_geom(spark, sf_dir)
+    b_classes = (
+        b.filter((F.length("text") <= MAX_CHARS) & (F.length("text") > 0))
+        .groupBy("b_left", "b_right", "b_top", "b_bottom")
+        .agg(
+            F.min("block_id").alias("block_id"),
+            F.min_by("text", "block_id").alias("text"),
+        )
+    )
+    t_classes = t.select("t_left", "t_right", "t_top", "t_bottom").distinct()
     ov_left = F.greatest("b_left", "t_left")
     ov_right = F.least("b_right", "t_right")
     overlap = (ov_right - ov_left) / F.least(
@@ -68,24 +91,29 @@ def q_spatial_title_join(spark, sf_dir):
     )
     gap = F.col("b_bottom") - F.col("t_top")
     j = (
-        t.join(
-            b,
-            (ov_right > ov_left)
-            & (gap >= 0)
-            & (gap <= V_THRESH)
-            & (F.length("text") <= MAX_CHARS)
-            & (F.length("text") > 0),
+        t_classes.join(
+            b_classes,
+            (ov_right > ov_left) & (gap >= 0) & (gap <= V_THRESH),
         )
         .withColumn("overlap", F.round(overlap, 9))
         .filter(F.col("overlap") >= OVERLAP_THRESH)
         .withColumn("score", F.round(gap - OVERLAP_WEIGHT * F.col("overlap"), 6))
     )
-    w = Window.partitionBy("table_id").orderBy(F.asc("score"), F.asc("block_id"))
-    return (
+    w = Window.partitionBy("t_left", "t_right", "t_top", "t_bottom").orderBy(
+        F.asc("score"), F.asc("block_id")
+    )
+    best_per_rect = (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("table_id", F.col("text").alias("title"), "score")
+        .select("t_left", "t_right", "t_top", "t_bottom", "text", "score")
     )
+    # no broadcast hint: at this sf AQE converts the re-attach join to
+    # broadcast from the actual (tiny) per-rect winner set; with unique
+    # geometry at scale it degrades to a plain equi-join, never a
+    # forced broadcast
+    return t.join(
+        best_per_rect, ["t_left", "t_right", "t_top", "t_bottom"]
+    ).select("table_id", F.col("text").alias("title"), "score")
 
 
 SQL_SPATIAL_TITLE_JOIN = """
@@ -129,19 +157,35 @@ def q_spatial_containment(spark, sf_dir):
     tolerance 2.0; counts words per region."""
     t = _tables_geom(spark, sf_dir)
     b = _blocks_geom(spark, sf_dir)
+    # Same class reduction as the title join (guide §2.3): containment
+    # depends only on the word's CENTER POINT and the table's RECT, so
+    # collapse words to distinct points (with count + min id) and
+    # tables to distinct rects before the quadratic theta-match, then
+    # re-attach per-rect results to the full table list.  n_words =
+    # sum of point multiplicities, first_block = min of per-point min
+    # ids — exactly the original aggregate.
     cx = (F.col("b_left") + F.col("b_right")) / 2.0
     cy = (F.col("b_bottom") + F.col("b_top")) / 2.0
-    j = t.join(
-        b,
-        (cx >= F.col("t_left") - TOLERANCE)
-        & (cx <= F.col("t_right") + TOLERANCE)
-        & (cy >= F.col("t_bottom") - TOLERANCE)
-        & (cy <= F.col("t_top") + TOLERANCE),
+    points = (
+        b.select(cx.alias("cx"), cy.alias("cy"), "block_id")
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("block_id").alias("_min_id"))
     )
-    return j.groupBy("table_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.min("block_id").alias("first_block"),
+    rects = t.select("t_left", "t_right", "t_top", "t_bottom").distinct()
+    j = rects.join(
+        points,
+        (F.col("cx") >= F.col("t_left") - TOLERANCE)
+        & (F.col("cx") <= F.col("t_right") + TOLERANCE)
+        & (F.col("cy") >= F.col("t_bottom") - TOLERANCE)
+        & (F.col("cy") <= F.col("t_top") + TOLERANCE),
     )
+    per_rect = j.groupBy("t_left", "t_right", "t_top", "t_bottom").agg(
+        F.sum("_n").alias("n_words"),
+        F.min("_min_id").alias("first_block"),
+    )
+    return t.join(
+        per_rect, ["t_left", "t_right", "t_top", "t_bottom"]
+    ).select("table_id", "n_words", "first_block")
 
 
 SQL_SPATIAL_CONTAINMENT = """
