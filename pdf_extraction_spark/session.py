@@ -84,6 +84,17 @@ def build_session(
         # an explicit core-count minPartitionNum floor was tried and
         # dropped — it re-fragmented the small committed-stage scans).
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # Whole-stage-codegen class cache: the default 100 entries is
+        # smaller than one pass of this engine's query surface, so a
+        # session that alternates queries (the bench suite, a real
+        # multi-query deployment) EVICTS every query's generated
+        # classes between runs and re-pays janino compilation on every
+        # execution — measured as a ~0.5-1.5s per-query tax: the warm
+        # 12-query suite sum dropped 16.6 -> 12.5s (-25%) when raised
+        # (OPTIMIZATION_r06.md).  5000 compiled classes is a few
+        # hundred MB of metaspace at most; same value is appropriate on
+        # a cluster driver/executors.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
