@@ -16,9 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition the input iff the scan has fewer
-    partitions than the cluster has cores.
+def ensure_parallelism(df: DataFrame, key=None) -> DataFrame:
+    """Repartition the input iff the scan has fewer partitions than the
+    cluster has cores — round-robin by default, or hash on ``key`` when
+    given (a high-cardinality column): the keyed form skips the local
+    sort round-robin repartitioning pays for retry determinism
+    (sortBeforeRepartition), which matters when the rebalanced input is
+    millions of rows (pricing_summary's 6M-row lineitem scan: keyed
+    0.84s vs unguarded 1.19s median, round 6).
 
     Small inputs pay a trivially cheap rebalance (the input is by
     definition at most a few row groups); large inputs always arrive
@@ -41,6 +46,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         out = df
+    elif key is not None:
+        out = df.repartition(key)
     else:
         out = df.repartition(target)
     # Memoize on the INPUT object (composed helpers like

@@ -23,7 +23,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- A-class: grouped aggregation (TPC-H Q1 shape; reference A1-A13) -------
 
 def q_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.partitioning import ensure_parallelism
+
+    # The heavy decimal partial-agg fuses with the scan, and the sf1.0
+    # lineitem file has only 6 row groups — 6 of 32 cores.  A keyed
+    # rebalance (hash on the high-cardinality orderkey, no round-robin
+    # sort) fires only when the scan is under-split: 1.19 -> 0.84s
+    # median at sf1.0, a no-op at scale.  Decimal sums/counts are
+    # order-insensitive, so results are exact either way.
+    li = ensure_parallelism(
+        _t(spark, sf_dir, "lineitem"), key=F.col("l_orderkey")
+    )
     # inputs are 2dp; stepwise casts keep every intermediate EXACT (4dp
     # then 6dp), so Spark and the oracle agree bit-for-bit regardless of
     # their decimal-precision promotion rules
